@@ -1,0 +1,787 @@
+"""BFV scheme (exact integer SIMD) — TPU-native implementation.
+
+Functional core (jittable pure functions over pytree contexts/keys/cts) plus
+thin class wrappers mirroring the reference API surface
+(HEonGPU src/lib/host/bfv/*: HEContextImpl<BFV>, HEKeyGenerator, HEEncoder,
+HEEncryptor, HEDecryptor, HEArithmeticOperator — see SURVEY.md §2.3).
+
+Design choices vs the reference (deliberate, TPU-first):
+  * RNS primes < 2**30 in uint32 lanes (reference: 60-bit primes, CUDA u64).
+  * Public key and evaluation keys live over Q·P in the NTT domain and in
+    Montgomery form (scaled by 2^32), so every key MAC is a single-REDC
+    mont_mul — the TPU analog of the reference's fused `__ldg` MAC kernel
+    (kernel/switchkey.cu:61).
+  * BFV ct-ct multiply uses the BEHZ RNS algorithm like the reference
+    (kernel/multiplication.cu fast_convertion / cross_multiplication /
+    fast_floor), expressed as limb-axis matvecs (ops/rns.py BaseConv).
+  * Decryption uses the Bajard {t, gamma} scaled-remainder technique
+    (reference kernel/decryption.cu decryption_kernel) — no big-int compose
+    on the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial, reduce
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as nttm
+from ..ops import polyops, rns
+from ..utils import nt, rng
+from ..utils.params import default_coeff_modulus, validate_security
+
+_prod = lambda xs: reduce(lambda a, b: a * b, xs, 1)
+
+
+# =========================================================================
+# Context
+# =========================================================================
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "ntt_qp", "ntt_t", "base_q", "base_qp",
+        "delta_mont", "q_mod_t", "half_t", "t_inv_2_32",
+        "gt_qhatinv_mont", "gt_half_qhatinv", "dec_mat_mont", "dec_off",
+        "gamma_inv_t", "gamma_inv_t_sh",
+        "div_p", "slot_index",
+        "ntt_qbsk", "conv_q_bsk", "conv_q_mt_mat", "neg_qinv_mt",
+        "mt_inv_bsk", "mt_inv_bsk_sh", "q_mod_bsk", "q_mod_bsk_mont",
+        "t_mont_qbsk", "conv_tq_bsk", "qinv_bsk", "qinv_bsk_sh",
+        "conv_b_q", "conv_b_msk_mat", "binv_msk", "binv_msk_sh",
+        "b_mod_q", "b_mod_q_sh", "msk_half", "msk_half_mod_q",
+    ],
+    meta_fields=["n", "logn", "k", "t", "gamma", "mt_bits", "bsk_k",
+                 "q_primes", "p_primes", "bsk_primes", "sec_level"],
+)
+@dataclasses.dataclass(frozen=True)
+class BfvContext:
+    """All precomputed tables for one BFV parameter set (a JAX pytree).
+
+    Plays the role of HEContextImpl<BFV>::generate()
+    (reference src/lib/host/bfv/context.cu:391-717)."""
+    # --- static metadata
+    n: int
+    logn: int
+    k: int                     # number of Q primes
+    t: int                     # plain modulus
+    gamma: int
+    mt_bits: int               # m_tilde = 2**mt_bits
+    bsk_k: int                 # number of B primes (Bsk = B + m_sk)
+    q_primes: tuple
+    p_primes: tuple
+    bsk_primes: tuple          # B primes + [m_sk]
+    sec_level: str
+    # --- NTT/base tables
+    ntt_qp: nttm.NttTables     # over Q ∪ P
+    ntt_t: nttm.NttTables      # over [t] (encoder)
+    base_q: rns.Base
+    base_qp: rns.Base
+    # --- plaintext lift (encrypt / add_plain)
+    delta_mont: jnp.ndarray    # (k,)  Δ=floor(Q/t) mod q_i, Montgomery form
+    q_mod_t: jnp.ndarray       # ()    Q mod t
+    half_t: jnp.ndarray        # ()    floor(t/2)
+    t_inv_2_32: jnp.ndarray    # ()    t^{-1} mod 2^32
+    # --- {t, gamma} decryption
+    gt_qhatinv_mont: jnp.ndarray   # (k,) [γt(Q/q_i)^{-1}]_{q_i} mont form
+    gt_half_qhatinv: jnp.ndarray   # (k,) [⌊Q/2⌋(Q/q_i)^{-1}]_{q_i}
+    dec_mat_mont: jnp.ndarray      # (k, 2) [-(Q/q_i)Q^{-1}]_s mont, s∈{t,γ}
+    dec_off: jnp.ndarray           # (2,) [⌊Q/2⌋ Q^{-1}]_s
+    gamma_inv_t: jnp.ndarray       # () γ^{-1} mod t
+    gamma_inv_t_sh: jnp.ndarray
+    # --- keyswitch P-drop
+    div_p: rns.DivRoundLastq
+    # --- encoder slot map
+    slot_index: jnp.ndarray        # (n,) int32 NTT-domain index per slot
+    # --- BEHZ multiply tables
+    ntt_qbsk: nttm.NttTables       # over Q ∪ Bsk
+    conv_q_bsk: rns.BaseConv       # q → Bsk
+    conv_q_mt_mat: jnp.ndarray     # (k,) [(Q/q_i)]_{m̃}
+    neg_qinv_mt: jnp.ndarray       # ()  [-Q^{-1}]_{m̃}
+    mt_inv_bsk: jnp.ndarray        # (k_bsk+1,) m̃^{-1} mod b
+    mt_inv_bsk_sh: jnp.ndarray
+    q_mod_bsk: jnp.ndarray         # (k_bsk+1,) Q mod b
+    q_mod_bsk_mont: jnp.ndarray
+    t_mont_qbsk: jnp.ndarray       # (k + k_bsk+1,) t in mont form per limb
+    conv_tq_bsk: rns.BaseConv      # q → Bsk (for t·u)
+    qinv_bsk: jnp.ndarray          # (k_bsk+1,) Q^{-1} mod b
+    qinv_bsk_sh: jnp.ndarray
+    conv_b_q: rns.BaseConv         # B → q (Shenoy main part)
+    conv_b_msk_mat: jnp.ndarray    # (k_bsk,) [(B/b)]_{m_sk} mont form
+    binv_msk: jnp.ndarray          # () B^{-1} mod m_sk
+    binv_msk_sh: jnp.ndarray
+    b_mod_q: jnp.ndarray           # (k,) B mod q_j
+    b_mod_q_sh: jnp.ndarray
+    msk_half: jnp.ndarray          # () floor(m_sk/2)
+    msk_half_mod_q: jnp.ndarray    # (k,) per q_j
+
+    # convenience
+    @property
+    def qp_primes(self):
+        return tuple(self.q_primes) + tuple(self.p_primes)
+
+
+def make_context(n: int,
+                 plain_modulus: int,
+                 q_bits: Optional[Sequence[int]] = None,
+                 q_primes: Optional[Sequence[int]] = None,
+                 sec_level: str = "none",
+                 seed_tables: bool = True) -> BfvContext:
+    """Build a BFV context.  `q_bits` like [29,29,29] (last entry NOT special);
+    one 30-bit special prime P is appended automatically."""
+    logn = n.bit_length() - 1
+    assert 1 << logn == n
+
+    if q_primes is None:
+        if q_bits is None:
+            q_primes = default_coeff_modulus(n, sec_level)
+        else:
+            q_primes = []
+            used = set()
+            for b in q_bits:
+                pr = nt.generate_ntt_primes(b, 1, n, exclude=used)[0]
+                used.add(pr)
+                q_primes.append(pr)
+    q_primes = [int(q) for q in q_primes]
+    used = set(q_primes)
+    p_primes = [nt.generate_ntt_primes(30, 1, n, exclude=used)[0]]
+    used |= set(p_primes)
+    validate_security(n, q_primes + p_primes, sec_level)
+
+    t = int(plain_modulus)
+    assert t % (2 * n) == 1 and nt.is_prime(t), \
+        "plain modulus must be an NTT-friendly prime for batching"
+    assert t < min(q_primes), "plain modulus must be below every Q prime"
+    k = len(q_primes)
+    Q = _prod(q_primes)
+    QP = Q * _prod(p_primes)
+
+    # gamma for decryption: a prime coprime to t and Q, ~2^29
+    gamma = nt.generate_ntt_primes(29, 1, n, exclude=used | {t})[0]
+    used.add(gamma)
+
+    # BEHZ aux base: B primes (enough to hold N * t * 4 * Q) + m_sk
+    extra_bits = logn + t.bit_length() + 3
+    bsk_b = k + max(1, math.ceil(extra_bits / 29))
+    bsk_primes = nt.generate_ntt_primes(30, bsk_b, n, exclude=used)
+    used |= set(bsk_primes)
+    m_sk = nt.generate_ntt_primes(29, 1, n, exclude=used)[0]
+    bsk_all = list(bsk_primes) + [m_sk]
+    mt_bits = 16
+    mt = 1 << mt_bits
+
+    qp = q_primes + p_primes
+    P = _prod(p_primes)
+    B = _prod(bsk_primes)
+
+    u32 = lambda arr: jnp.asarray(np.array(arr, np.uint32))
+    mont = lambda vals, ps: u32([v * (1 << 32) % p for v, p in zip(vals, ps)])
+
+    delta = Q // t
+    qh = [Q // qi for qi in q_primes]
+    qh_inv = [pow(h, -1, qi) for h, qi in zip(qh, q_primes)]
+    half_q = Q // 2
+
+    # {t, gamma} decrypt tables
+    gt = gamma * t
+    gt_qhatinv = [gt % qi * qi_inv % qi for qi, qi_inv in zip(q_primes, qh_inv)]
+    gt_half = [half_q % qi * qi_inv % qi for qi, qi_inv in zip(q_primes, qh_inv)]
+    dec_mat = np.empty((k, 2), np.uint32)
+    for i, qi in enumerate(q_primes):
+        for si, s in enumerate((t, gamma)):
+            v = (-(qh[i] % s) * pow(Q % s, -1, s)) % s
+            dec_mat[i, si] = v * (1 << 32) % s
+    dec_off = [half_q % s * pow(Q % s, -1, s) % s for s in (t, gamma)]
+    g_inv_t = pow(gamma % t, -1, t)
+
+    # slot index map (5^j orbit; see SURVEY §2.3 HEEncoder<BFV>)
+    m2 = 2 * n
+    slot_index = np.empty(n, np.int32)
+    g5 = 1
+    for j in range(n // 2):
+        slot_index[j] = (g5 - 1) // 2
+        slot_index[j + n // 2] = (m2 - g5 - 1) // 2
+        g5 = g5 * 5 % m2
+    assert len(set(slot_index.tolist())) == n
+
+    # BEHZ tables
+    conv_q_bsk = rns.BaseConv.build(q_primes, bsk_all)
+    conv_q_mt_mat = u32([(Q // qi) % mt for qi in q_primes])
+    neg_qinv_mt = jnp.uint32((-pow(Q % mt, -1, mt)) % mt)
+    mt_inv_bsk_v = [pow(mt, -1, b) for b in bsk_all]
+    qinv_bsk_v = [pow(Q % b, -1, b) for b in bsk_all]
+    conv_b_q = rns.BaseConv.build(list(bsk_primes), q_primes)
+    conv_b_msk = [(B // b) % m_sk * (1 << 32) % m_sk for b in bsk_primes]
+    binv_msk_v = pow(B % m_sk, -1, m_sk)
+    b_mod_q_v = [B % qj for qj in q_primes]
+
+    return BfvContext(
+        n=n, logn=logn, k=k, t=t, gamma=gamma, mt_bits=mt_bits, bsk_k=bsk_b,
+        q_primes=tuple(q_primes), p_primes=tuple(p_primes),
+        bsk_primes=tuple(bsk_all), sec_level=sec_level,
+        ntt_qp=nttm.build_ntt_tables(qp, n),
+        ntt_t=nttm.build_ntt_tables([t], n),
+        base_q=rns.Base.build(q_primes),
+        base_qp=rns.Base.build(qp),
+        delta_mont=mont([delta % qi for qi in q_primes], q_primes),
+        q_mod_t=jnp.uint32(Q % t),
+        half_t=jnp.uint32(t // 2),
+        t_inv_2_32=jnp.uint32(pow(t, -1, 1 << 32)),
+        gt_qhatinv_mont=mont(gt_qhatinv, q_primes),
+        gt_half_qhatinv=u32(gt_half),
+        dec_mat_mont=jnp.asarray(dec_mat),
+        dec_off=u32(dec_off),
+        gamma_inv_t=jnp.uint32(g_inv_t),
+        gamma_inv_t_sh=jnp.uint32(mm.shoup(g_inv_t, t)),
+        div_p=rns.DivRoundLastq.build(q_primes, p_primes[0]),
+        slot_index=jnp.asarray(slot_index),
+        ntt_qbsk=nttm.build_ntt_tables(q_primes + bsk_all, n),
+        conv_q_bsk=conv_q_bsk,
+        conv_q_mt_mat=conv_q_mt_mat,
+        neg_qinv_mt=neg_qinv_mt,
+        mt_inv_bsk=u32(mt_inv_bsk_v),
+        mt_inv_bsk_sh=u32([mm.shoup(v, b) for v, b in zip(mt_inv_bsk_v, bsk_all)]),
+        q_mod_bsk=u32([Q % b for b in bsk_all]),
+        q_mod_bsk_mont=mont([Q % b for b in bsk_all], bsk_all),
+        t_mont_qbsk=mont([t % p for p in q_primes + bsk_all], q_primes + bsk_all),
+        conv_tq_bsk=rns.BaseConv.build(q_primes, bsk_all),
+        qinv_bsk=u32(qinv_bsk_v),
+        qinv_bsk_sh=u32([mm.shoup(v, b) for v, b in zip(qinv_bsk_v, bsk_all)]),
+        conv_b_q=conv_b_q,
+        conv_b_msk_mat=u32(conv_b_msk),
+        binv_msk=jnp.uint32(binv_msk_v),
+        binv_msk_sh=jnp.uint32(mm.shoup(binv_msk_v, m_sk)),
+        b_mod_q=u32(b_mod_q_v),
+        b_mod_q_sh=u32([mm.shoup(v, qj) for v, qj in zip(b_mod_q_v, q_primes)]),
+        msk_half=jnp.uint32(m_sk // 2),
+        msk_half_mod_q=u32([(m_sk // 2) % qj for qj in q_primes]),
+    )
+
+
+# =========================================================================
+# Key material containers
+# =========================================================================
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["s_coeff", "s_ntt_mont_qp"], meta_fields=["hamming_weight"])
+@dataclasses.dataclass(frozen=True)
+class SecretKey:
+    s_coeff: jnp.ndarray        # (n,) int32 in {-1,0,1}
+    s_ntt_mont_qp: jnp.ndarray  # (k+1, n) NTT domain, Montgomery form
+    hamming_weight: int
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["pk0", "pk1"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class PublicKey:
+    pk0: jnp.ndarray  # (k+1, n) NTT, Montgomery form
+    pk1: jnp.ndarray
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k0", "k1"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class RelinKey:
+    """Method-I keyswitch key for s^2 -> s: (d, k+1, n) NTT+Montgomery."""
+    k0: jnp.ndarray
+    k1: jnp.ndarray
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k0", "k1", "perm_coeff_src", "perm_coeff_neg", "perm_ntt"],
+         meta_fields=["galois_elt"])
+@dataclasses.dataclass(frozen=True)
+class GaloisKeyOne:
+    k0: jnp.ndarray
+    k1: jnp.ndarray
+    perm_coeff_src: jnp.ndarray
+    perm_coeff_neg: jnp.ndarray
+    perm_ntt: jnp.ndarray
+    galois_elt: int
+
+
+class GaloisKey:
+    """Bundle of per-element Galois keys (default: steps ±2^0..±2^(MAX_SHIFT-1)
+    and the column-swap element, mirroring reference evaluationkey.cu:316-341)."""
+
+    def __init__(self, keys: dict):
+        self.keys = keys  # {galois_elt: GaloisKeyOne}, plus {"conj": ...}
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["c", "noise_seed"], meta_fields=["size", "in_ntt"])
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    c: jnp.ndarray  # (size, k, n) uint32, coefficient domain unless in_ntt
+    noise_seed: Optional[jnp.ndarray]
+    size: int
+    in_ntt: bool
+
+
+# =========================================================================
+# Encoder (batch slots over Z_t)
+# =========================================================================
+
+def encode(ctx: BfvContext, values) -> jnp.ndarray:
+    """int64 array (≤ n values, signed ok) -> plaintext poly (n,) uint32 mod t."""
+    v = np.asarray(values)
+    assert v.size <= ctx.n
+    buf = np.zeros(ctx.n, np.int64)
+    buf[: v.size] = v
+    buf %= ctx.t
+    slots = jnp.asarray(buf.astype(np.uint32))
+    e = jnp.zeros((ctx.n,), jnp.uint32).at[ctx.slot_index].set(slots)
+    return nttm.ntt_inv(e[None, :], ctx.ntt_t)[0]
+
+
+def decode(ctx: BfvContext, plain) -> np.ndarray:
+    e = nttm.ntt_fwd(plain[None, :], ctx.ntt_t)[0]
+    return np.asarray(jnp.take(e, ctx.slot_index))
+
+
+# =========================================================================
+# Keygen
+# =========================================================================
+
+@jax.jit
+def keygen_secret(ctx: BfvContext, key, hamming_weight: Optional[int] = None) -> SecretKey:
+    hw = ctx.n // 2 if hamming_weight is None else hamming_weight
+    s = rng.ternary_hw(key, ctx.n, hw)
+    s_rns = rng.signed_to_rns(s, ctx.qp_primes)
+    s_ntt = nttm.ntt_fwd(s_rns, ctx.ntt_qp)
+    p, pinv, r2, *_ = ctx.base_qp.bview()
+    return SecretKey(s, mm.to_mont(s_ntt, p, pinv, r2), hw)
+
+
+@jax.jit
+def keygen_public(ctx: BfvContext, key, sk: SecretKey) -> PublicKey:
+    ka, ke = jax.random.split(key)
+    a = rng.uniform_rns(ka, ctx.qp_primes, (ctx.n,))           # NTT domain
+    e = nttm.ntt_fwd(rng.gaussian_rns(ke, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
+    p, pinv, r2, *_ = ctx.base_qp.bview()
+    a_s = mm.mont_mul(a, sk.s_ntt_mont_qp, p, pinv)            # a*s (a normal, s mont)
+    pk0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
+    return PublicKey(mm.to_mont(pk0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
+
+
+def _keyswitch_keygen(ctx: BfvContext, key, sk: SecretKey, target_ntt_mont):
+    """Generate Method-I keys encrypting `target` (NTT+mont over QP) under s.
+
+    key_i = (-(a_i s + e_i) + P*target*δ_i, a_i) over QP, stored NTT+mont.
+    Reference analog: relinkey_gen_kernel (kernel/keygeneration.cu)."""
+    k, n = ctx.k, ctx.n
+    P = _prod(ctx.p_primes)
+    p, pinv, r2, *_ = ctx.base_qp.bview()
+    ka, ke = jax.random.split(key)
+    a = rng.uniform_rns(ka, ctx.qp_primes, (k, n))             # (k+1, k, n)? -> fix axes
+    # uniform_rns returns (L, k, n); we want (d=k digits, L=k+1, n)
+    a = jnp.moveaxis(a, 0, 1)                                  # (k, k+1, n) = (digit, limb, n)
+    e = rng.gaussian_rns(ke, ctx.qp_primes, (k, n))
+    e = nttm.ntt_fwd(jnp.moveaxis(e, 0, 1), ctx.ntt_qp)
+    a_s = mm.mont_mul(a, sk.s_ntt_mont_qp[None], p, pinv)
+    k0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
+    # add P * target on digit i's limb i only
+    P_mod = np.array([P % q for q in ctx.qp_primes], np.uint32)
+    sel = np.zeros((k, k + len(ctx.p_primes)), np.uint32)
+    for i in range(k):
+        sel[i, i] = P_mod[i]
+    selj = jnp.asarray(sel)[:, :, None]                        # (digit, limb, 1)
+    p3 = ctx.base_qp.p[None, :, None]
+    pinv3 = ctx.base_qp.pinv[None, :, None]
+    # target stored in Montgomery form: mont_mul(target*R, sel) = target*sel exactly
+    pt = mm.mont_mul(target_ntt_mont[None], selj, p3, pinv3)
+    k0 = mm.add_mod(k0, pt, p)
+    return mm.to_mont(k0, p, pinv, r2), mm.to_mont(a, p, pinv, r2)
+
+
+@jax.jit
+def keygen_relin(ctx: BfvContext, key, sk: SecretKey) -> RelinKey:
+    p, pinv, *_ = ctx.base_qp.bview()
+    s2_mont = mm.mont_mul(sk.s_ntt_mont_qp, sk.s_ntt_mont_qp, p, pinv)  # s^2 * R
+    k0, k1 = _keyswitch_keygen(ctx, key, sk, s2_mont)
+    return RelinKey(k0, k1)
+
+
+def keygen_galois_one(ctx: BfvContext, key, sk: SecretKey, galois_elt) -> GaloisKeyOne:
+    n = ctx.n
+    if galois_elt == polyops.GALOIS_CONJ:
+        g = 2 * n - 1
+    else:
+        g = int(galois_elt)
+    src, neg = polyops.galois_perm_coeff(g, n)
+    perm_ntt = polyops.galois_perm_ntt(g, n)
+    s_g = polyops.apply_galois_coeff(
+        rng.signed_to_rns(sk.s_coeff, ctx.qp_primes), src, neg,
+        ctx.base_qp.p[:, None])
+    p, pinv, r2, *_ = ctx.base_qp.bview()
+    sg_mont = mm.to_mont(nttm.ntt_fwd(s_g, ctx.ntt_qp), p, pinv, r2)
+    k0, k1 = _keyswitch_keygen(ctx, key, sk, sg_mont)
+    return GaloisKeyOne(k0, k1, src, neg, perm_ntt, g)
+
+
+def keygen_galois(ctx: BfvContext, key, sk: SecretKey,
+                  steps: Optional[Sequence[int]] = None, max_shift: int = 8) -> GaloisKey:
+    if steps is None:
+        steps = []
+        for j in range(max_shift):
+            steps += [1 << j, -(1 << j)]
+    keys = {}
+    subkeys = jax.random.split(key, len(steps) + 1)
+    for sk_i, step in zip(subkeys[:-1], steps):
+        g = polyops.steps_to_galois_elt(step, ctx.n)
+        if g not in keys:
+            keys[g] = keygen_galois_one(ctx, sk_i, sk, g)
+    keys["conj"] = keygen_galois_one(ctx, subkeys[-1], sk, polyops.GALOIS_CONJ)
+    return GaloisKey(keys)
+
+
+# =========================================================================
+# Encrypt / Decrypt
+# =========================================================================
+
+def _plain_lift(ctx: BfvContext, m):
+    """round(Q*m/t) over the Q limbs: Δ·m + fix where
+    fix = floor(((Q mod t)·m + t/2)/t)  (exact division trick, see module doc)."""
+    qb = ctx.base_q
+    p, pinv, *_ = qb.bview()
+    dm = mm.mont_mul(m[None, :].astype(jnp.uint32), ctx.delta_mont[:, None], p, pinv)
+    # fix term, computed once (independent of limb)
+    hi, lo = mm.widening_mul(m.astype(jnp.uint32), ctx.q_mod_t)
+    lo2 = lo + ctx.half_t
+    hi = hi + (lo2 < lo).astype(jnp.uint32)
+    t32 = jnp.uint32(ctx.t)
+    mu_t = jnp.uint32(mm.barrett_mu(ctx.t))
+    r1t = jnp.uint32(mm.mont_r1(ctx.t))
+    r1ts = jnp.uint32(mm.shoup(mm.mont_r1(ctx.t), ctx.t))
+    rem = mm.reduce64(hi, lo2, t32, mu_t, r1t, r1ts)
+    fix = (lo2 - rem) * ctx.t_inv_2_32          # exact quotient < t (uint32 wrap math)
+    return mm.add_mod(dm, fix[None, :], p)      # fix < t < q_i
+
+
+@jax.jit
+def encrypt(ctx: BfvContext, pk: PublicKey, plain, key) -> Ciphertext:
+    """plain: (n,) uint32 mod t."""
+    ku, k0, k1 = jax.random.split(key, 3)
+    qp = ctx.base_qp
+    p, pinv, *_ = qp.bview()
+    u = nttm.ntt_fwd(rng.ternary_rns(ku, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
+    c0 = nttm.ntt_inv(mm.mont_mul(pk.pk0, u, p, pinv), ctx.ntt_qp)
+    c1 = nttm.ntt_inv(mm.mont_mul(pk.pk1, u, p, pinv), ctx.ntt_qp)
+    c0 = ctx.div_p(c0)
+    c1 = ctx.div_p(c1)
+    qb = ctx.base_q
+    e0 = rng.gaussian_rns(k0, ctx.q_primes, (ctx.n,))
+    e1 = rng.gaussian_rns(k1, ctx.q_primes, (ctx.n,))
+    c0 = mm.add_mod(mm.add_mod(c0, e0, qb.p[:, None]), _plain_lift(ctx, plain), qb.p[:, None])
+    c1 = mm.add_mod(c1, e1, qb.p[:, None])
+    return Ciphertext(jnp.stack([c0, c1]), None, 2, False)
+
+
+def _ct_dot_sk(ctx: BfvContext, ct: Ciphertext, sk: SecretKey):
+    """c0 + c1 s (+ c2 s^2) mod Q, coefficient domain."""
+    kq = ctx.k
+    qb = ctx.base_q
+    p, pinv, *_ = qb.bview()
+    s_mont_q = sk.s_ntt_mont_qp[:kq]
+    acc_ntt = mm.mont_mul(nttm.ntt_fwd(ct.c[1], ctx.ntt_qp.slice_limbs(0, kq)),
+                          s_mont_q, p, pinv)
+    if ct.size == 3:
+        s2 = mm.mont_mul(s_mont_q, s_mont_q, p, pinv)
+        acc_ntt = mm.add_mod(
+            acc_ntt,
+            mm.mont_mul(nttm.ntt_fwd(ct.c[2], ctx.ntt_qp.slice_limbs(0, kq)), s2, p, pinv),
+            p)
+    acc = nttm.ntt_inv(acc_ntt, ctx.ntt_qp.slice_limbs(0, kq))
+    return mm.add_mod(ct.c[0], acc, p)
+
+
+@jax.jit
+def decrypt(ctx: BfvContext, sk: SecretKey, ct: Ciphertext) -> jnp.ndarray:
+    """Returns plaintext poly (n,) mod t via the {t,γ} scaled-remainder method."""
+    y = _ct_dot_sk(ctx, ct, sk)
+    qb = ctx.base_q
+    p, pinv, *_ = qb.bview()
+    z = mm.add_mod(mm.mont_mul(y, ctx.gt_qhatinv_mont[:, None], p, pinv),
+                   ctx.gt_half_qhatinv[:, None], p)
+    # matvec (k,) x (k,2) -> (2,) over {t, gamma}
+    sbase = np.array([ctx.t, ctx.gamma], np.uint64)
+    s_p = jnp.asarray(sbase.astype(np.uint32))[:, None]
+    s_pinv = jnp.asarray(np.array([mm.mont_pinv(int(v)) for v in sbase], np.uint32))[:, None]
+    s_mu = jnp.asarray(np.array([mm.barrett_mu(int(v)) for v in sbase], np.uint32))[:, None]
+    s_r1 = np.array([mm.mont_r1(int(v)) for v in sbase], np.uint64)
+    s_r1j = jnp.asarray(s_r1.astype(np.uint32))[:, None]
+    s_r1sh = jnp.asarray(np.array(
+        [mm.shoup(int(r), int(v)) for r, v in zip(s_r1, sbase)], np.uint32))[:, None]
+    terms = mm.mont_mul(z[:, None, :], ctx.dec_mat_mont[:, :, None], s_p, s_pinv)
+    hi, lo = rns.sum_u32_axis64(terms, axis=0)       # (2, n)
+    w = mm.reduce64(hi, lo, s_p, s_mu, s_r1j, s_r1sh)
+    w = mm.add_mod(w, ctx.dec_off[:, None], s_p)
+    w_t, w_g = w[0], w[1]
+    # center w_g mod gamma, fold into w_t
+    g32 = jnp.uint32(ctx.gamma)
+    neg = w_g > (g32 >> 1)
+    mag = jnp.where(neg, g32 - w_g, w_g)
+    t32 = jnp.uint32(ctx.t)
+    mu_t = jnp.uint32(mm.barrett_mu(ctx.t))
+    mag_t = mm.barrett32(mag, t32, mu_t)
+    diff = jnp.where(neg, mm.add_mod(w_t, mag_t, t32), mm.sub_mod(w_t, mag_t, t32))
+    return mm.shoup_mul(diff, ctx.gamma_inv_t, ctx.gamma_inv_t_sh, t32)
+
+
+def noise_budget(ctx: BfvContext, sk: SecretKey, ct: Ciphertext) -> float:
+    """Bits of remaining noise budget (host big-int compose — diagnostic path,
+    mirrors reference HEDecryptor::remainder_noise_budget)."""
+    y = np.asarray(_ct_dot_sk(ctx, ct, sk))
+    m = decrypt(ctx, sk, ct)
+    lift = np.asarray(_plain_lift(ctx, m))
+    qb_p = np.array(ctx.q_primes, np.uint64)
+    diff = (y.astype(np.int64) - lift.astype(np.int64)) % qb_p[:, None]
+    Q = _prod(ctx.q_primes)
+    max_norm = 0
+    for col in range(ctx.n):
+        v = nt.crt_compose([int(diff[i, col]) for i in range(ctx.k)], list(ctx.q_primes))
+        max_norm = max(max_norm, abs(v))
+    if max_norm == 0:
+        return float((Q // 2).bit_length())
+    return max(0.0, math.log2(Q / 2) - math.log2(max_norm))
+
+
+# =========================================================================
+# Arithmetic operator
+# =========================================================================
+
+@jax.jit
+def add(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    assert a.size == b.size
+    return Ciphertext(mm.add_mod(a.c, b.c, ctx.base_q.p[:, None]), None, a.size, False)
+
+
+@jax.jit
+def sub(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    return Ciphertext(mm.sub_mod(a.c, b.c, ctx.base_q.p[:, None]), None, a.size, False)
+
+
+@jax.jit
+def negate(ctx: BfvContext, a: Ciphertext) -> Ciphertext:
+    return Ciphertext(mm.neg_mod(a.c, ctx.base_q.p[:, None]), None, a.size, False)
+
+
+@jax.jit
+def add_plain(ctx: BfvContext, a: Ciphertext, plain) -> Ciphertext:
+    c0 = mm.add_mod(a.c[0], _plain_lift(ctx, plain), ctx.base_q.p[:, None])
+    return Ciphertext(a.c.at[0].set(c0), None, a.size, False)
+
+
+@jax.jit
+def sub_plain(ctx: BfvContext, a: Ciphertext, plain) -> Ciphertext:
+    c0 = mm.sub_mod(a.c[0], _plain_lift(ctx, plain), ctx.base_q.p[:, None])
+    return Ciphertext(a.c.at[0].set(c0), None, a.size, False)
+
+
+@jax.jit
+def multiply_plain(ctx: BfvContext, a: Ciphertext, plain) -> Ciphertext:
+    """ct × encoded plaintext (NTT pointwise over Q)."""
+    qb = ctx.base_q
+    p, pinv, r2, *_ = qb.bview()
+    tb = ctx.ntt_qp.slice_limbs(0, ctx.k)
+    m_rns = mm.barrett32(plain[None, :].astype(jnp.uint32), p, qb.bview()[3])
+    m_ntt_mont = mm.to_mont(nttm.ntt_fwd(m_rns, tb), p, pinv, r2)
+    out = []
+    for i in range(a.size):
+        prod = mm.mont_mul(nttm.ntt_fwd(a.c[i], tb), m_ntt_mont, p, pinv)
+        out.append(nttm.ntt_inv(prod, tb))
+    return Ciphertext(jnp.stack(out), None, a.size, False)
+
+
+def _behz_lift_to_bsk(ctx: BfvContext, x):
+    """[x]_q -> representative of x in Bsk (SmMRq'd), x: (..., k, n)."""
+    # scale by m_tilde in q
+    qb = ctx.base_q
+    p, pinv, *_ = qb.bview()
+    mt = 1 << ctx.mt_bits
+    mt_mont = jnp.asarray(np.array(
+        [mt * (1 << 32) % q for q in ctx.q_primes], np.uint32))[:, None]
+    x_mt = mm.mont_mul(x, mt_mont, p, pinv)
+    z = ctx.conv_q_bsk.scaled_digits(x_mt)
+    x_bsk = ctx.conv_q_bsk.convert_from_digits(z)          # (..., k_bsk+1, n)
+    # m_tilde row: power-of-two modulus, plain wraparound arithmetic + mask
+    mask = jnp.uint32(mt - 1)
+    x_mtld = jnp.sum(z * ctx.conv_q_mt_mat[:, None], axis=-2) & mask
+    r = (x_mtld * ctx.neg_qinv_mt) & mask                  # [-x/Q]_mt
+    # center r, then x'' = (x' + Q*r) * mt^{-1} mod b
+    half_mt = jnp.uint32(mt // 2)
+    r_neg = r > half_mt
+    r_mag = jnp.where(r_neg, mt - r, r)                    # (..., n)
+    bb = ctx.conv_q_bsk.obase
+    pb, pbinv, pbr2, *_ = bb.bview()
+    q_r = mm.mont_mul(r_mag[..., None, :].astype(jnp.uint32),
+                      ctx.q_mod_bsk_mont[:, None], pb, pbinv)
+    x_corr = jnp.where(r_neg[..., None, :], mm.sub_mod(x_bsk, q_r, pb),
+                       mm.add_mod(x_bsk, q_r, pb))
+    return mm.shoup_mul(x_corr, ctx.mt_inv_bsk[:, None], ctx.mt_inv_bsk_sh[:, None], pb)
+
+
+def _behz_scale_floor(ctx: BfvContext, u_q, u_bsk):
+    """floor(t*u/Q) in Bsk given u over q and Bsk (fast_floor)."""
+    qb, bb = ctx.base_q, ctx.conv_q_bsk.obase
+    kq = ctx.k
+    p, pinv, *_ = qb.bview()
+    pb, pbinv, *_ = bb.bview()
+    t_mont_q = ctx.t_mont_qbsk[:kq, None]
+    t_mont_b = ctx.t_mont_qbsk[kq:, None]
+    tu_q = mm.mont_mul(u_q, t_mont_q, p, pinv)
+    tu_b = mm.mont_mul(u_bsk, t_mont_b, pb, pbinv)
+    conv = ctx.conv_tq_bsk(tu_q)                           # [tu]_q lifted to Bsk (+αQ)
+    num = mm.sub_mod(tu_b, conv, pb)
+    return mm.shoup_mul(num, ctx.qinv_bsk[:, None], ctx.qinv_bsk_sh[:, None], pb)
+
+
+def _behz_bsk_to_q(ctx: BfvContext, w):
+    """Exact Shenoy-Kumaresan conversion Bsk -> q.  w: (..., k_bsk+1, n)."""
+    kb = ctx.bsk_k
+    w_b, w_msk = w[..., :kb, :], w[..., kb, :]
+    z = ctx.conv_b_q.scaled_digits(w_b)
+    w_q = ctx.conv_b_q.convert_from_digits(z)              # (..., k, n)
+    # alpha_sk = [(conv_msk - w_msk) * B^{-1}]_{m_sk}, centered
+    msk = int(ctx.bsk_primes[-1])
+    msk32 = jnp.uint32(msk)
+    msk_pinv = jnp.uint32(mm.mont_pinv(msk))
+    msk_mu = jnp.uint32(mm.barrett_mu(msk))
+    r1 = mm.mont_r1(msk)
+    terms = mm.mont_mul(z, ctx.conv_b_msk_mat[:, None], msk32, msk_pinv)
+    hi, lo = rns.sum_u32_axis64(terms, axis=-2)
+    conv_msk = mm.reduce64(hi, lo, msk32, msk_mu, jnp.uint32(r1),
+                           jnp.uint32(mm.shoup(r1, msk)))
+    diff = mm.sub_mod(conv_msk, w_msk, msk32)
+    alpha = mm.shoup_mul(diff, ctx.binv_msk, ctx.binv_msk_sh, msk32)
+    a_neg = alpha > ctx.msk_half
+    a_mag = jnp.where(a_neg, msk32 - alpha, alpha)          # (..., n)
+    qb = ctx.base_q
+    p, _, _, mu, _, _ = qb.bview()
+    a_mag_q = mm.barrett32(a_mag[..., None, :], p, mu)
+    corr = mm.shoup_mul(a_mag_q, ctx.b_mod_q[:, None], ctx.b_mod_q_sh[:, None], p)
+    return jnp.where(a_neg[..., None, :], mm.add_mod(w_q, corr, p),
+                     mm.sub_mod(w_q, corr, p))
+
+
+@jax.jit
+def multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """BEHZ ct-ct multiply: (2-poly) x (2-poly) -> 3-poly, relin required."""
+    assert a.size == 2 and b.size == 2
+    kq = ctx.k
+    tb_q = ctx.ntt_qp.slice_limbs(0, kq)
+    tb_bsk = ctx.ntt_qbsk.slice_limbs(kq, kq + ctx.bsk_k + 1)
+    qb = ctx.base_q
+    bb = ctx.conv_q_bsk.obase
+    p, pinv, r2, *_ = qb.bview()
+    pb, pbinv, pbr2, *_ = bb.bview()
+
+    a_bsk = _behz_lift_to_bsk(ctx, a.c)
+    b_bsk = _behz_lift_to_bsk(ctx, b.c)
+
+    a_q_ntt = nttm.ntt_fwd(a.c, tb_q)
+    b_q_ntt = nttm.ntt_fwd(b.c, tb_q)
+    a_b_ntt = nttm.ntt_fwd(a_bsk, tb_bsk)
+    b_b_ntt = nttm.ntt_fwd(b_bsk, tb_bsk)
+
+    def cross(x, y, pp, ppinv, rr2):
+        x0m = mm.to_mont(x[0], pp, ppinv, rr2)
+        x1m = mm.to_mont(x[1], pp, ppinv, rr2)
+        c0 = mm.mont_mul(x0m, y[0], pp, ppinv)
+        c1 = mm.add_mod(mm.mont_mul(x0m, y[1], pp, ppinv),
+                        mm.mont_mul(x1m, y[0], pp, ppinv), pp)
+        c2 = mm.mont_mul(x1m, y[1], pp, ppinv)
+        return jnp.stack([c0, c1, c2])
+
+    u_q = nttm.ntt_inv(cross(a_q_ntt, b_q_ntt, p, pinv, r2), tb_q)
+    u_bsk = nttm.ntt_inv(cross(a_b_ntt, b_b_ntt, pb, pbinv, pbr2), tb_bsk)
+
+    w = _behz_scale_floor(ctx, u_q, u_bsk)
+    out = _behz_bsk_to_q(ctx, w)
+    return Ciphertext(out, None, 3, False)
+
+
+def _keyswitch_core(ctx: BfvContext, poly_q, k0, k1):
+    """Method-I keyswitch of a single poly over Q: returns (d0, d1) over Q
+    (coefficient domain) = round(P^{-1} * Σ_i digit_i * key_i)."""
+    digits = rns.decompose_to_base(poly_q, ctx.base_qp)     # (k, k+1, n)
+    d_ntt = nttm.ntt_fwd(digits, ctx.ntt_qp)
+    p, pinv, *_ = ctx.base_qp.bview()
+    t0 = mm.mont_mul(d_ntt, k0, p, pinv)
+    t1 = mm.mont_mul(d_ntt, k1, p, pinv)
+    hi0, lo0 = rns.sum_u32_axis64(t0, axis=-3)
+    hi1, lo1 = rns.sum_u32_axis64(t1, axis=-3)
+    _, _, _, mu, r1, r1sh = ctx.base_qp.bview()
+    acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
+    acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
+    acc = nttm.ntt_inv(jnp.stack([acc0, acc1]), ctx.ntt_qp)
+    return ctx.div_p(acc[0]), ctx.div_p(acc[1])
+
+
+@jax.jit
+def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
+    assert ct.size == 3
+    d0, d1 = _keyswitch_core(ctx, ct.c[2], rk.k0, rk.k1)
+    p = ctx.base_q.p[:, None]
+    return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p),
+                                 mm.add_mod(ct.c[1], d1, p)]), None, 2, False)
+
+
+@jax.jit
+def apply_galois(ctx: BfvContext, ct: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
+    assert ct.size == 2
+    p = ctx.base_q.p[:, None]
+    g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
+    g1 = polyops.apply_galois_coeff(ct.c[1], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
+    d0, d1 = _keyswitch_core(ctx, g1, gk1.k0, gk1.k1)
+    return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), None, 2, False)
+
+
+def rotate_rows(ctx: BfvContext, ct: Ciphertext, gk: GaloisKey, step: int) -> Ciphertext:
+    """Rotate row slots by `step` (power-of-two decomposition over stored keys)."""
+    n = ctx.n
+    step = step % (n // 2)
+    if step == 0:
+        return ct
+    out = ct
+    remaining = step
+    for j in reversed(range(16)):
+        sz = 1 << j
+        while remaining >= sz:
+            g = polyops.steps_to_galois_elt(sz, n)
+            if g in gk.keys:
+                out = apply_galois(ctx, out, gk.keys[g])
+                remaining -= sz
+            else:
+                break
+        if remaining == 0:
+            break
+    if remaining:
+        raise ValueError(f"no galois key chain reaches step {step}")
+    return out
+
+
+def rotate_columns(ctx: BfvContext, ct: Ciphertext, gk: GaloisKey) -> Ciphertext:
+    return apply_galois(ctx, ct, gk.keys["conj"])
+
+
+@jax.jit
+def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
+    """Re-encrypt a size-2 ct from old key to new key (swk encrypts s_old)."""
+    assert ct.size == 2
+    d0, d1 = _keyswitch_core(ctx, ct.c[1], swk.k0, swk.k1)
+    p = ctx.base_q.p[:, None]
+    return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p), d1]), None, 2, False)
+
+
+def keygen_switch(ctx: BfvContext, key, sk_old: SecretKey, sk_new: SecretKey) -> RelinKey:
+    """Keyswitch key: encrypts s_old under s_new."""
+    k0, k1 = _keyswitch_keygen(ctx, key, sk_new, sk_old.s_ntt_mont_qp)
+    return RelinKey(k0, k1)

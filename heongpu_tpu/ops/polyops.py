@@ -1,0 +1,89 @@
+"""Polynomial-ring structural ops: Galois automorphisms and negacyclic shifts.
+
+TPU analog of the reference's permutation kernels
+(kernel/keygeneration.cu `permutation`/`steps_to_galois_elt`,
+kernel/switchkey.cu `galois_permute_ntt_pql_kernel`,
+`negacyclic_shift_poly_coeffmod_kernel`).  Both domains reduce to a fixed
+gather (+ sign fixup in coefficient domain), which XLA lowers to a single
+dynamic-gather — no hand scheduling needed.
+
+NTT-domain convention (see ops/ntt.py): index j holds the evaluation at
+psi^(2j+1), natural j order, so sigma_g acts as j -> j' with
+2j'+1 = g*(2j+1) mod 2N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import modmath as mm
+
+
+def steps_to_galois_elt(step: int, n: int) -> int:
+    """Rotation step -> Galois element 5^step mod 2n (negative steps wrap)."""
+    m = 2 * n
+    step = step % (n // 2)
+    return pow(5, step, m)
+
+
+GALOIS_CONJ = "conj"  # column-swap / conjugation element: 2n - 1
+
+
+def galois_perm_coeff(g: int, n: int):
+    """Host: coefficient-domain automorphism tables.
+
+    Returns (src_index[n] int32, negate[n] uint32) such that
+    out[j] = (-1)^negate[j] * in[src_index[j]].
+    """
+    src = np.empty(n, np.int32)
+    neg = np.empty(n, np.uint8)
+    m = 2 * n
+    for i in range(n):
+        r = (i * g) % m
+        if r < n:
+            src_j, s = r, 0
+        else:
+            src_j, s = r - n, 1
+        src[src_j] = i
+        neg[src_j] = s
+    return jnp.asarray(src), jnp.asarray(neg.astype(np.uint32))
+
+
+def galois_perm_ntt(g: int, n: int):
+    """Host: NTT-domain automorphism gather table: out[j] = in[perm[j]]."""
+    m = 2 * n
+    perm = np.empty(n, np.int32)
+    for j in range(n):
+        perm[j] = ((g * (2 * j + 1)) % m - 1) // 2
+    return jnp.asarray(perm)
+
+
+def apply_galois_coeff(x, src, neg, p):
+    """x: (..., L, N) coeff domain; p broadcastable (L, 1)."""
+    y = jnp.take(x, src, axis=-1)
+    flip = jnp.take(neg, jnp.arange(neg.shape[0]), axis=0)  # (N,)
+    return jnp.where(flip.astype(bool), mm.neg_mod(y, p), y)
+
+
+def apply_galois_ntt(x, perm):
+    return jnp.take(x, perm, axis=-1)
+
+
+def negacyclic_shift_tables(k: int, n: int):
+    """Host tables for multiplication by X^k (k may be negative)."""
+    k = k % (2 * n)
+    src = np.empty(n, np.int32)
+    neg = np.empty(n, np.uint8)
+    for i in range(n):
+        j = (i + k) % (2 * n)
+        if j < n:
+            src[j], neg[j] = i, 0
+        else:
+            src[j - n], neg[j - n] = i, 1
+    return jnp.asarray(src), jnp.asarray(neg.astype(np.uint32))
+
+
+def negacyclic_shift(x, src, neg, p):
+    y = jnp.take(x, src, axis=-1)
+    return jnp.where(neg.astype(bool), mm.neg_mod(y, p), y)

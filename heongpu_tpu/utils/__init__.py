@@ -1,1 +1,1 @@
-from . import nt  # noqa: F401
+from . import nt, params, rng  # noqa: F401

@@ -1,0 +1,112 @@
+"""BFV end-to-end tests with plaintext-recompute oracles.
+
+Mirrors the reference test strategy (SURVEY §4: test_bfv_encoding /
+encryption / addition / multiplication / relinearization / rotation run
+encode→encrypt→op→decrypt→decode and EXPECT_EQ against plain recomputation,
+at sec_level none so small parameters are allowed)."""
+
+import numpy as np
+import pytest
+
+from heongpu_tpu.models import bfv
+from heongpu_tpu.utils import rng, params
+
+RNG = np.random.default_rng(7)
+
+
+def _ctx_small():
+    # n=1024, t ≡ 1 mod 2048, 3 x 29-bit Q primes
+    t = params.plain_modulus_for(1024, 20)
+    return bfv.make_context(1024, t, q_bits=[29, 29, 29], sec_level="none")
+
+
+CTX = _ctx_small()
+SK = bfv.keygen_secret(CTX, rng.new_key(1))
+PK = bfv.keygen_public(CTX, rng.new_key(2), SK)
+
+
+def _msg(ctx):
+    return RNG.integers(0, ctx.t, size=ctx.n, dtype=np.int64)
+
+
+def test_encode_decode_roundtrip():
+    m = _msg(CTX)
+    np.testing.assert_array_equal(bfv.decode(CTX, bfv.encode(CTX, m)),
+                                  m.astype(np.uint32))
+
+
+def test_encrypt_decrypt():
+    m = _msg(CTX)
+    ct = bfv.encrypt(CTX, PK, bfv.encode(CTX, m), rng.new_key(3))
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, ct))
+    np.testing.assert_array_equal(got, m.astype(np.uint32))
+
+
+def test_noise_budget_positive():
+    m = _msg(CTX)
+    ct = bfv.encrypt(CTX, PK, bfv.encode(CTX, m), rng.new_key(4))
+    nb = bfv.noise_budget(CTX, SK, ct)
+    assert nb > 20, f"fresh ciphertext noise budget too small: {nb}"
+
+
+def test_add_sub():
+    m1, m2 = _msg(CTX), _msg(CTX)
+    ct1 = bfv.encrypt(CTX, PK, bfv.encode(CTX, m1), rng.new_key(5))
+    ct2 = bfv.encrypt(CTX, PK, bfv.encode(CTX, m2), rng.new_key(6))
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, bfv.add(CTX, ct1, ct2)))
+    np.testing.assert_array_equal(got, ((m1 + m2) % CTX.t).astype(np.uint32))
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, bfv.sub(CTX, ct1, ct2)))
+    np.testing.assert_array_equal(got, ((m1 - m2) % CTX.t).astype(np.uint32))
+
+
+def test_add_plain_mult_plain():
+    m1, m2 = _msg(CTX), _msg(CTX)
+    ct = bfv.encrypt(CTX, PK, bfv.encode(CTX, m1), rng.new_key(8))
+    pt2 = bfv.encode(CTX, m2)
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, bfv.add_plain(CTX, ct, pt2)))
+    np.testing.assert_array_equal(got, ((m1 + m2) % CTX.t).astype(np.uint32))
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, bfv.multiply_plain(CTX, ct, pt2)))
+    np.testing.assert_array_equal(got, (m1 * m2 % CTX.t).astype(np.uint32))
+
+
+def test_multiply_relinearize():
+    m1, m2 = _msg(CTX), _msg(CTX)
+    rk = bfv.keygen_relin(CTX, rng.new_key(9), SK)
+    ct1 = bfv.encrypt(CTX, PK, bfv.encode(CTX, m1), rng.new_key(10))
+    ct2 = bfv.encrypt(CTX, PK, bfv.encode(CTX, m2), rng.new_key(11))
+    ct3 = bfv.multiply(CTX, ct1, ct2)
+    want = (m1 * m2 % CTX.t).astype(np.uint32)
+    # decrypt the 3-poly ciphertext directly
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, ct3))
+    np.testing.assert_array_equal(got, want)
+    # and after relinearization
+    ct2p = bfv.relinearize(CTX, ct3, rk)
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, ct2p))
+    np.testing.assert_array_equal(got, want)
+    assert bfv.noise_budget(CTX, SK, ct2p) > 5
+
+
+def test_rotate_rows_columns():
+    m = _msg(CTX)
+    gk = bfv.keygen_galois(CTX, rng.new_key(12), SK, steps=[1, 2, -1])
+    ct = bfv.encrypt(CTX, PK, bfv.encode(CTX, m), rng.new_key(13))
+    half = CTX.n // 2
+    rows = m.reshape(2, half)
+
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, bfv.rotate_rows(CTX, ct, gk, 1)))
+    want = np.concatenate([np.roll(rows[0], -1), np.roll(rows[1], -1)])
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+    got = bfv.decode(CTX, bfv.decrypt(CTX, SK, bfv.rotate_columns(CTX, ct, gk)))
+    want = np.concatenate([rows[1], rows[0]])
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_switch_key():
+    m = _msg(CTX)
+    sk2 = bfv.keygen_secret(CTX, rng.new_key(14))
+    swk = bfv.keygen_switch(CTX, rng.new_key(15), SK, sk2)
+    ct = bfv.encrypt(CTX, PK, bfv.encode(CTX, m), rng.new_key(16))
+    ct2 = bfv.switch_key(CTX, ct, swk)
+    got = bfv.decode(CTX, bfv.decrypt(CTX, sk2, ct2))
+    np.testing.assert_array_equal(got, m.astype(np.uint32))
