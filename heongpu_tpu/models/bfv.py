@@ -35,6 +35,11 @@ from ..ops import ntt as nttm
 from ..ops import polyops, rns
 from ..utils import nt, rng
 from ..utils.params import default_coeff_modulus, validate_security
+from . import ringkit
+from .ringkit import (SecretKey, PublicKey, KSKey, GaloisKey, GaloisKeyOne,
+                      RingView)
+
+RelinKey = KSKey  # reference-API alias
 
 _prod = lambda xs: reduce(lambda a, b: a * b, xs, 1)
 
@@ -264,57 +269,6 @@ def make_context(n: int,
     )
 
 
-# =========================================================================
-# Key material containers
-# =========================================================================
-
-@partial(jax.tree_util.register_dataclass,
-         data_fields=["s_coeff", "s_ntt_mont_qp"], meta_fields=["hamming_weight"])
-@dataclasses.dataclass(frozen=True)
-class SecretKey:
-    s_coeff: jnp.ndarray        # (n,) int32 in {-1,0,1}
-    s_ntt_mont_qp: jnp.ndarray  # (k+1, n) NTT domain, Montgomery form
-    hamming_weight: int
-
-
-@partial(jax.tree_util.register_dataclass,
-         data_fields=["pk0", "pk1"], meta_fields=[])
-@dataclasses.dataclass(frozen=True)
-class PublicKey:
-    pk0: jnp.ndarray  # (k+1, n) NTT, Montgomery form
-    pk1: jnp.ndarray
-
-
-@partial(jax.tree_util.register_dataclass,
-         data_fields=["k0", "k1"], meta_fields=[])
-@dataclasses.dataclass(frozen=True)
-class RelinKey:
-    """Method-I keyswitch key for s^2 -> s: (d, k+1, n) NTT+Montgomery."""
-    k0: jnp.ndarray
-    k1: jnp.ndarray
-
-
-@partial(jax.tree_util.register_dataclass,
-         data_fields=["k0", "k1", "perm_coeff_src", "perm_coeff_neg", "perm_ntt"],
-         meta_fields=["galois_elt"])
-@dataclasses.dataclass(frozen=True)
-class GaloisKeyOne:
-    k0: jnp.ndarray
-    k1: jnp.ndarray
-    perm_coeff_src: jnp.ndarray
-    perm_coeff_neg: jnp.ndarray
-    perm_ntt: jnp.ndarray
-    galois_elt: int
-
-
-class GaloisKey:
-    """Bundle of per-element Galois keys (default: steps ±2^0..±2^(MAX_SHIFT-1)
-    and the column-swap element, mirroring reference evaluationkey.cu:316-341)."""
-
-    def __init__(self, keys: dict):
-        self.keys = keys  # {galois_elt: GaloisKeyOne}, plus {"conj": ...}
-
-
 @partial(jax.tree_util.register_dataclass,
          data_fields=["c", "noise_seed"], meta_fields=["size", "in_ntt"])
 @dataclasses.dataclass(frozen=True)
@@ -347,99 +301,33 @@ def decode(ctx: BfvContext, plain) -> np.ndarray:
 
 
 # =========================================================================
-# Keygen
+# Keygen (delegates to ringkit; cold path, not jitted)
 # =========================================================================
 
-@jax.jit
-def keygen_secret(ctx: BfvContext, key, hamming_weight: Optional[int] = None) -> SecretKey:
-    hw = ctx.n // 2 if hamming_weight is None else hamming_weight
-    s = rng.ternary_hw(key, ctx.n, hw)
-    s_rns = rng.signed_to_rns(s, ctx.qp_primes)
-    s_ntt = nttm.ntt_fwd(s_rns, ctx.ntt_qp)
-    p, pinv, r2, *_ = ctx.base_qp.bview()
-    return SecretKey(s, mm.to_mont(s_ntt, p, pinv, r2), hw)
+def _ring(ctx: BfvContext) -> RingView:
+    return RingView(ctx.n, ctx.q_primes, ctx.p_primes, ctx.base_q,
+                    ctx.base_qp, ctx.ntt_qp, ctx.div_p)
 
 
-@jax.jit
+def keygen_secret(ctx: BfvContext, key, hamming_weight=None) -> SecretKey:
+    return ringkit.keygen_secret(_ring(ctx), key, hamming_weight)
+
+
 def keygen_public(ctx: BfvContext, key, sk: SecretKey) -> PublicKey:
-    ka, ke = jax.random.split(key)
-    a = rng.uniform_rns(ka, ctx.qp_primes, (ctx.n,))           # NTT domain
-    e = nttm.ntt_fwd(rng.gaussian_rns(ke, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
-    p, pinv, r2, *_ = ctx.base_qp.bview()
-    a_s = mm.mont_mul(a, sk.s_ntt_mont_qp, p, pinv)            # a*s (a normal, s mont)
-    pk0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
-    return PublicKey(mm.to_mont(pk0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
+    return ringkit.keygen_public(_ring(ctx), key, sk)
 
 
-def _keyswitch_keygen(ctx: BfvContext, key, sk: SecretKey, target_ntt_mont):
-    """Generate Method-I keys encrypting `target` (NTT+mont over QP) under s.
-
-    key_i = (-(a_i s + e_i) + P*target*δ_i, a_i) over QP, stored NTT+mont.
-    Reference analog: relinkey_gen_kernel (kernel/keygeneration.cu)."""
-    k, n = ctx.k, ctx.n
-    P = _prod(ctx.p_primes)
-    p, pinv, r2, *_ = ctx.base_qp.bview()
-    ka, ke = jax.random.split(key)
-    a = rng.uniform_rns(ka, ctx.qp_primes, (k, n))             # (k+1, k, n)? -> fix axes
-    # uniform_rns returns (L, k, n); we want (d=k digits, L=k+1, n)
-    a = jnp.moveaxis(a, 0, 1)                                  # (k, k+1, n) = (digit, limb, n)
-    e = rng.gaussian_rns(ke, ctx.qp_primes, (k, n))
-    e = nttm.ntt_fwd(jnp.moveaxis(e, 0, 1), ctx.ntt_qp)
-    a_s = mm.mont_mul(a, sk.s_ntt_mont_qp[None], p, pinv)
-    k0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
-    # add P * target on digit i's limb i only
-    P_mod = np.array([P % q for q in ctx.qp_primes], np.uint32)
-    sel = np.zeros((k, k + len(ctx.p_primes)), np.uint32)
-    for i in range(k):
-        sel[i, i] = P_mod[i]
-    selj = jnp.asarray(sel)[:, :, None]                        # (digit, limb, 1)
-    p3 = ctx.base_qp.p[None, :, None]
-    pinv3 = ctx.base_qp.pinv[None, :, None]
-    # target stored in Montgomery form: mont_mul(target*R, sel) = target*sel exactly
-    pt = mm.mont_mul(target_ntt_mont[None], selj, p3, pinv3)
-    k0 = mm.add_mod(k0, pt, p)
-    return mm.to_mont(k0, p, pinv, r2), mm.to_mont(a, p, pinv, r2)
+def keygen_relin(ctx: BfvContext, key, sk: SecretKey) -> KSKey:
+    return ringkit.keygen_relin(_ring(ctx), key, sk)
 
 
-@jax.jit
-def keygen_relin(ctx: BfvContext, key, sk: SecretKey) -> RelinKey:
-    p, pinv, *_ = ctx.base_qp.bview()
-    s2_mont = mm.mont_mul(sk.s_ntt_mont_qp, sk.s_ntt_mont_qp, p, pinv)  # s^2 * R
-    k0, k1 = _keyswitch_keygen(ctx, key, sk, s2_mont)
-    return RelinKey(k0, k1)
+def keygen_galois(ctx: BfvContext, key, sk: SecretKey, steps=None,
+                  max_shift: int = 8) -> GaloisKey:
+    return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift)
 
 
-def keygen_galois_one(ctx: BfvContext, key, sk: SecretKey, galois_elt) -> GaloisKeyOne:
-    n = ctx.n
-    if galois_elt == polyops.GALOIS_CONJ:
-        g = 2 * n - 1
-    else:
-        g = int(galois_elt)
-    src, neg = polyops.galois_perm_coeff(g, n)
-    perm_ntt = polyops.galois_perm_ntt(g, n)
-    s_g = polyops.apply_galois_coeff(
-        rng.signed_to_rns(sk.s_coeff, ctx.qp_primes), src, neg,
-        ctx.base_qp.p[:, None])
-    p, pinv, r2, *_ = ctx.base_qp.bview()
-    sg_mont = mm.to_mont(nttm.ntt_fwd(s_g, ctx.ntt_qp), p, pinv, r2)
-    k0, k1 = _keyswitch_keygen(ctx, key, sk, sg_mont)
-    return GaloisKeyOne(k0, k1, src, neg, perm_ntt, g)
-
-
-def keygen_galois(ctx: BfvContext, key, sk: SecretKey,
-                  steps: Optional[Sequence[int]] = None, max_shift: int = 8) -> GaloisKey:
-    if steps is None:
-        steps = []
-        for j in range(max_shift):
-            steps += [1 << j, -(1 << j)]
-    keys = {}
-    subkeys = jax.random.split(key, len(steps) + 1)
-    for sk_i, step in zip(subkeys[:-1], steps):
-        g = polyops.steps_to_galois_elt(step, ctx.n)
-        if g not in keys:
-            keys[g] = keygen_galois_one(ctx, sk_i, sk, g)
-    keys["conj"] = keygen_galois_one(ctx, subkeys[-1], sk, polyops.GALOIS_CONJ)
-    return GaloisKey(keys)
+def keygen_switch(ctx: BfvContext, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
+    return ringkit.keygen_switch(_ring(ctx), key, sk_new=sk_new, sk_old=sk_old)
 
 
 # =========================================================================
@@ -708,27 +596,11 @@ def multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     return Ciphertext(out, None, 3, False)
 
 
-def _keyswitch_core(ctx: BfvContext, poly_q, k0, k1):
-    """Method-I keyswitch of a single poly over Q: returns (d0, d1) over Q
-    (coefficient domain) = round(P^{-1} * Σ_i digit_i * key_i)."""
-    digits = rns.decompose_to_base(poly_q, ctx.base_qp)     # (k, k+1, n)
-    d_ntt = nttm.ntt_fwd(digits, ctx.ntt_qp)
-    p, pinv, *_ = ctx.base_qp.bview()
-    t0 = mm.mont_mul(d_ntt, k0, p, pinv)
-    t1 = mm.mont_mul(d_ntt, k1, p, pinv)
-    hi0, lo0 = rns.sum_u32_axis64(t0, axis=-3)
-    hi1, lo1 = rns.sum_u32_axis64(t1, axis=-3)
-    _, _, _, mu, r1, r1sh = ctx.base_qp.bview()
-    acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
-    acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
-    acc = nttm.ntt_inv(jnp.stack([acc0, acc1]), ctx.ntt_qp)
-    return ctx.div_p(acc[0]), ctx.div_p(acc[1])
-
-
 @jax.jit
 def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
     assert ct.size == 3
-    d0, d1 = _keyswitch_core(ctx, ct.c[2], rk.k0, rk.k1)
+    d0, d1 = ringkit.keyswitch_core(ct.c[2], rk.k0, rk.k1, ctx.base_qp,
+                                    ctx.ntt_qp, ctx.div_p, False, False)
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p),
                                  mm.add_mod(ct.c[1], d1, p)]), None, 2, False)
@@ -740,7 +612,8 @@ def apply_galois(ctx: BfvContext, ct: Ciphertext, gk1: GaloisKeyOne) -> Cipherte
     p = ctx.base_q.p[:, None]
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(ct.c[1], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
-    d0, d1 = _keyswitch_core(ctx, g1, gk1.k0, gk1.k1)
+    d0, d1 = ringkit.keyswitch_core(g1, gk1.k0, gk1.k1, ctx.base_qp,
+                                    ctx.ntt_qp, ctx.div_p, False, False)
     return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), None, 2, False)
 
 
@@ -776,12 +649,10 @@ def rotate_columns(ctx: BfvContext, ct: Ciphertext, gk: GaloisKey) -> Ciphertext
 def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
     """Re-encrypt a size-2 ct from old key to new key (swk encrypts s_old)."""
     assert ct.size == 2
-    d0, d1 = _keyswitch_core(ctx, ct.c[1], swk.k0, swk.k1)
+    d0, d1 = ringkit.keyswitch_core(ct.c[1], swk.k0, swk.k1, ctx.base_qp,
+                                    ctx.ntt_qp, ctx.div_p, False, False)
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p), d1]), None, 2, False)
 
 
-def keygen_switch(ctx: BfvContext, key, sk_old: SecretKey, sk_new: SecretKey) -> RelinKey:
-    """Keyswitch key: encrypts s_old under s_new."""
-    k0, k1 = _keyswitch_keygen(ctx, key, sk_new, sk_old.s_ntt_mont_qp)
-    return RelinKey(k0, k1)
+

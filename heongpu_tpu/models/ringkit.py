@@ -1,0 +1,207 @@
+"""Shared RNS-ring key machinery used by both BFV and CKKS.
+
+Key material layout (TPU-first design, diverges from the reference's
+per-scheme duplicated kernels in kernel/keygeneration.cu / switchkey.cu):
+
+  * secret key: ternary coeffs + NTT-domain Montgomery form over Q·P
+  * public key / keyswitch keys: NTT domain over Q·P, Montgomery form, so the
+    hot keyswitch MAC is a single-REDC mont_mul + exact 64-bit tree reduction
+  * Method-I gadget: g_i = P * (Q/q_i) * ((Q/q_i)^{-1} mod q_i)  ≡  P·δ_i in
+    RNS — the key's i-th digit carries P·target on limb i only, which stays
+    valid for any *prefix* sub-basis, giving leveled CKKS keyswitching from
+    the same key object (reference: relinkey_gen_kernel + leveled variants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial, reduce
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as nttm
+from ..ops import polyops, rns
+from ..utils import rng
+
+_prod = lambda xs: reduce(lambda a, b: a * b, xs, 1)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["s_coeff", "s_ntt_mont_qp"], meta_fields=["hamming_weight"])
+@dataclasses.dataclass(frozen=True)
+class SecretKey:
+    s_coeff: jnp.ndarray        # (n,) int32 in {-1,0,1}
+    s_ntt_mont_qp: jnp.ndarray  # (k+p, n) NTT domain, Montgomery form
+    hamming_weight: int
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["pk0", "pk1"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class PublicKey:
+    pk0: jnp.ndarray  # (k+p, n) NTT, Montgomery form
+    pk1: jnp.ndarray
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k0", "k1"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class KSKey:
+    """Method-I keyswitch key: (d, k+p, n) NTT + Montgomery."""
+    k0: jnp.ndarray
+    k1: jnp.ndarray
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k0", "k1", "perm_coeff_src", "perm_coeff_neg", "perm_ntt"],
+         meta_fields=["galois_elt"])
+@dataclasses.dataclass(frozen=True)
+class GaloisKeyOne:
+    k0: jnp.ndarray
+    k1: jnp.ndarray
+    perm_coeff_src: jnp.ndarray
+    perm_coeff_neg: jnp.ndarray
+    perm_ntt: jnp.ndarray
+    galois_elt: int
+
+
+class GaloisKey:
+    """Bundle of per-element Galois keys (default steps ±2^j like the
+    reference evaluationkey.cu:316-341, plus conjugation)."""
+
+    def __init__(self, keys: dict):
+        self.keys = keys
+
+
+class RingView:
+    """The ring attributes keygen/keyswitch need; both scheme contexts expose
+    a `.ring` property returning one of these (duck-typed, host-side)."""
+
+    def __init__(self, n, q_primes, p_primes, base_q, base_qp, ntt_qp, div_p):
+        self.n = n
+        self.q_primes = tuple(q_primes)
+        self.p_primes = tuple(p_primes)
+        self.qp_primes = self.q_primes + self.p_primes
+        self.base_q = base_q
+        self.base_qp = base_qp
+        self.ntt_qp = ntt_qp
+        self.div_p = div_p
+        self.k = len(q_primes)
+
+
+def keygen_secret(ring: RingView, key, hamming_weight: Optional[int] = None) -> SecretKey:
+    hw = ring.n // 2 if hamming_weight is None else hamming_weight
+    s = rng.ternary_hw(key, ring.n, hw)
+    s_rns = rng.signed_to_rns(s, ring.qp_primes)
+    s_ntt = nttm.ntt_fwd(s_rns, ring.ntt_qp)
+    p, pinv, r2, *_ = ring.base_qp.bview()
+    return SecretKey(s, mm.to_mont(s_ntt, p, pinv, r2), hw)
+
+
+def keygen_public(ring: RingView, key, sk: SecretKey) -> PublicKey:
+    ka, ke = jax.random.split(key)
+    a = rng.uniform_rns(ka, ring.qp_primes, (ring.n,))  # NTT domain
+    e = nttm.ntt_fwd(rng.gaussian_rns(ke, ring.qp_primes, (ring.n,)), ring.ntt_qp)
+    p, pinv, r2, *_ = ring.base_qp.bview()
+    a_s = mm.mont_mul(a, sk.s_ntt_mont_qp, p, pinv)
+    pk0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
+    return PublicKey(mm.to_mont(pk0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
+
+
+def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont) -> KSKey:
+    """Method-I key encrypting `target` (NTT+mont over QP) under s."""
+    k, n = ring.k, ring.n
+    P = _prod(ring.p_primes)
+    p, pinv, r2, *_ = ring.base_qp.bview()
+    ka, ke = jax.random.split(key)
+    a = jnp.moveaxis(rng.uniform_rns(ka, ring.qp_primes, (k, n)), 0, 1)
+    e = nttm.ntt_fwd(jnp.moveaxis(rng.gaussian_rns(ke, ring.qp_primes, (k, n)), 0, 1),
+                     ring.ntt_qp)
+    a_s = mm.mont_mul(a, sk.s_ntt_mont_qp[None], p, pinv)
+    k0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
+    sel = np.zeros((k, len(ring.qp_primes)), np.uint32)
+    for i, qi in enumerate(ring.q_primes):
+        sel[i, i] = P % qi
+    pt = mm.mont_mul(target_ntt_mont[None], jnp.asarray(sel)[:, :, None],
+                     p[None], pinv[None])
+    k0 = mm.add_mod(k0, pt, p)
+    return KSKey(mm.to_mont(k0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
+
+
+def keygen_relin(ring: RingView, key, sk: SecretKey) -> KSKey:
+    p, pinv, *_ = ring.base_qp.bview()
+    s2_mont = mm.mont_mul(sk.s_ntt_mont_qp, sk.s_ntt_mont_qp, p, pinv)
+    return ks_keygen(ring, key, sk, s2_mont)
+
+
+def keygen_switch(ring: RingView, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
+    return ks_keygen(ring, key, sk_new, sk_old.s_ntt_mont_qp)
+
+
+def keygen_galois_one(ring: RingView, key, sk: SecretKey, g: int) -> GaloisKeyOne:
+    n = ring.n
+    src, neg = polyops.galois_perm_coeff(g, n)
+    perm_ntt = polyops.galois_perm_ntt(g, n)
+    s_g = polyops.apply_galois_coeff(
+        rng.signed_to_rns(sk.s_coeff, ring.qp_primes), src, neg,
+        ring.base_qp.p[:, None])
+    p, pinv, r2, *_ = ring.base_qp.bview()
+    sg_mont = mm.to_mont(nttm.ntt_fwd(s_g, ring.ntt_qp), p, pinv, r2)
+    kk = ks_keygen(ring, key, sk, sg_mont)
+    return GaloisKeyOne(kk.k0, kk.k1, src, neg, perm_ntt, g)
+
+
+def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
+                  max_shift: int = 8, include_conj: bool = True) -> GaloisKey:
+    n = ring.n
+    if steps is None:
+        steps = []
+        for j in range(max_shift):
+            steps += [1 << j, -(1 << j)]
+    keys = {}
+    subkeys = jax.random.split(key, len(steps) + 1)
+    for sk_i, step in zip(subkeys[:-1], steps):
+        g = polyops.steps_to_galois_elt(step, n)
+        if g not in keys:
+            keys[g] = keygen_galois_one(ring, sk_i, sk, g)
+    if include_conj:
+        keys["conj"] = keygen_galois_one(ring, subkeys[-1], sk, 2 * n - 1)
+    return GaloisKey(keys)
+
+
+def slice_key_level(k_arr, k_lvl: int, k_full: int):
+    """Restrict a (d, k_full+p, n) key to the level basis (digits < k_lvl,
+    limbs = first k_lvl Q limbs + the special limb(s))."""
+    return jnp.concatenate([k_arr[:k_lvl, :k_lvl], k_arr[:k_lvl, k_full:]], axis=1)
+
+
+def keyswitch_core(poly_q, k0, k1, base_qp: rns.Base, ntt_qp: nttm.NttTables,
+                   div_p: rns.DivRoundLastq, in_ntt: bool, out_ntt: bool,
+                   ntt_q: Optional[nttm.NttTables] = None):
+    """Method-I keyswitch of one poly over the (possibly leveled) basis.
+
+    poly_q: (k, n) over Q-part of base_qp.  Returns (d0, d1) over Q.
+    The digits MAC is the hot loop — TPU analog of
+    keyswitch_multiply_accumulate_kernel (reference kernel/switchkey.cu:61)."""
+    k = poly_q.shape[-2]
+    if in_ntt:
+        poly_q = nttm.ntt_inv(poly_q, ntt_q)
+    digits = rns.decompose_to_base(poly_q, base_qp)        # (k, k+p, n)
+    d_ntt = nttm.ntt_fwd(digits, ntt_qp)
+    p, pinv, _, mu, r1, r1sh = base_qp.bview()
+    t0 = mm.mont_mul(d_ntt, k0, p, pinv)
+    t1 = mm.mont_mul(d_ntt, k1, p, pinv)
+    hi0, lo0 = rns.sum_u32_axis64(t0, axis=-3)
+    hi1, lo1 = rns.sum_u32_axis64(t1, axis=-3)
+    acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
+    acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
+    acc = nttm.ntt_inv(jnp.stack([acc0, acc1]), ntt_qp)
+    d0, d1 = div_p(acc[0]), div_p(acc[1])
+    if out_ntt:
+        d0 = nttm.ntt_fwd(d0, ntt_q)
+        d1 = nttm.ntt_fwd(d1, ntt_q)
+    return d0, d1
