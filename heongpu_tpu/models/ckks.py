@@ -1,0 +1,540 @@
+"""CKKS scheme (approximate complex/real SIMD) — TPU-native implementation.
+
+Mirrors the capability surface of HEonGPU's CKKS family
+(src/lib/host/ckks/*: HEContextImpl<CKKS>, HEEncoder (GPU_Special_FFT),
+leveled HEArithmeticOperator with rescale / mod_drop / rotation / conjugate —
+SURVEY §2.4), redesigned for TPU:
+
+  * Ciphertexts live in the NTT domain over a level-dependent prime prefix
+    (level L = number of dropped primes), exactly like the reference keeps
+    CKKS cts NTT-side; rescale INTTs only the dropped limb.
+  * Levels are static jit metadata: each level compiles its own XLA program
+    over static shapes — the TPU replacement for the reference's
+    leveled-kernel variants.
+  * Encoding uses the canonical-embedding special FFT; slot j sits at the
+    NTT-domain evaluation index of psi^(5^j) (same 5^j orbit as the
+    reference's rot_group tables, encoder.cu:50-101).  Host float64 numpy
+    path for exactness; the transform is one length-n complex FFT.
+  * Keys come from ringkit: Method-I P-scaled gadget, valid at every level
+    by prefix slicing (no per-level key copies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial, reduce
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as nttm
+from ..ops import polyops, rns
+from ..utils import nt, rng
+from ..utils.params import validate_security
+from . import ringkit
+from .ringkit import (SecretKey, PublicKey, KSKey, GaloisKey, GaloisKeyOne,
+                      RingView)
+
+_prod = lambda xs: reduce(lambda a, b: a * b, xs, 1)
+
+
+# =========================================================================
+# Context
+# =========================================================================
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ntt_qp", "base_q", "base_qp", "div_p", "div_level",
+                 "slot_to_ntt", "conj_perm"],
+    meta_fields=["n", "logn", "k", "q_primes", "p_primes", "default_scale",
+                 "sec_level"],
+)
+@dataclasses.dataclass(frozen=True)
+class CkksContext:
+    """Precomputed tables for a CKKS chain (reference context.cu analog)."""
+    n: int
+    logn: int
+    k: int                      # number of Q primes (level 0 uses all)
+    q_primes: tuple
+    p_primes: tuple
+    default_scale: float
+    sec_level: str
+    ntt_qp: nttm.NttTables      # over Q ∪ P
+    base_q: rns.Base
+    base_qp: rns.Base
+    div_p: rns.DivRoundLastq    # ÷P at level 0 (per level: sliced on the fly)
+    div_level: tuple            # div_level[lvl] = DivRoundLastq dropping q_{k-1-lvl}
+    slot_to_ntt: jnp.ndarray    # (n/2,) int32: NTT index of slot j
+    conj_perm: jnp.ndarray      # (n,) NTT-domain permutation for conjugation
+
+    @property
+    def qp_primes(self):
+        return tuple(self.q_primes) + tuple(self.p_primes)
+
+    def active(self, level: int) -> int:
+        """Number of active Q limbs at `level`."""
+        return self.k - level
+
+    def ntt_q(self, level: int) -> nttm.NttTables:
+        return self.ntt_qp.slice_limbs(0, self.active(level))
+
+    def base_q_at(self, level: int) -> rns.Base:
+        return self.base_q.slice(0, self.active(level))
+
+    def ntt_qp_at(self, level: int) -> nttm.NttTables:
+        """Level basis + special prime: limbs [0..active) ∪ [k..k+p)."""
+        ka = self.active(level)
+        if level == 0:
+            return self.ntt_qp
+        a = self.ntt_qp.slice_limbs(0, ka)
+        b = self.ntt_qp.slice_limbs(self.k, self.k + len(self.p_primes))
+        return _concat_tables(a, b)
+
+    def base_qp_at(self, level: int) -> rns.Base:
+        ka = self.active(level)
+        if level == 0:
+            return self.base_qp
+        idx = list(range(ka)) + list(range(self.k, self.k + len(self.p_primes)))
+        t = lambda arr: arr[jnp.asarray(np.array(idx, np.int32))]
+        return rns.Base(t(self.base_qp.p), t(self.base_qp.pinv),
+                        t(self.base_qp.r2), t(self.base_qp.mu),
+                        t(self.base_qp.r1), t(self.base_qp.r1_sh))
+
+    def div_p_at(self, level: int) -> rns.DivRoundLastq:
+        if level == 0:
+            return self.div_p
+        ka = self.active(level)
+        d = self.div_p
+        return rns.DivRoundLastq(
+            qbase=d.qbase.slice(0, ka), half=d.half,
+            half_mod=d.half_mod[:ka], pinv_mod=d.pinv_mod[:ka],
+            pinv_mod_sh=d.pinv_mod_sh[:ka], p_last=d.p_last)
+
+
+def _concat_tables(a: nttm.NttTables, b: nttm.NttTables) -> nttm.NttTables:
+    cat = lambda x, y: jnp.concatenate([x, y], axis=0)
+    return nttm.NttTables(
+        n=a.n, logn=a.logn,
+        p=cat(a.p, b.p), pinv=cat(a.pinv, b.pinv), r2=cat(a.r2, b.r2),
+        mu=cat(a.mu, b.mu), r1=cat(a.r1, b.r1), r1_sh=cat(a.r1_sh, b.r1_sh),
+        psi=cat(a.psi, b.psi), psi_sh=cat(a.psi_sh, b.psi_sh),
+        ipsi_n=cat(a.ipsi_n, b.ipsi_n), ipsi_n_sh=cat(a.ipsi_n_sh, b.ipsi_n_sh),
+        brev=a.brev,
+        tw=tuple(cat(x, y) for x, y in zip(a.tw, b.tw)),
+        tw_sh=tuple(cat(x, y) for x, y in zip(a.tw_sh, b.tw_sh)),
+        itw=tuple(cat(x, y) for x, y in zip(a.itw, b.itw)),
+        itw_sh=tuple(cat(x, y) for x, y in zip(a.itw_sh, b.itw_sh)),
+    )
+
+
+def make_context(n: int,
+                 q_bits: Sequence[int],
+                 scale_bits: Optional[int] = None,
+                 sec_level: str = "none") -> CkksContext:
+    """q_bits: bit sizes of the Q chain, q_bits[0] = base prime; the scale
+    primes should sit near 2**scale_bits.  One 30-bit special prime added."""
+    logn = n.bit_length() - 1
+    assert 1 << logn == n
+    q_primes = []
+    used = set()
+    for b in q_bits:
+        pr = nt.generate_ntt_primes(b, 1, n, exclude=used)[0]
+        used.add(pr)
+        q_primes.append(pr)
+    p_primes = [nt.generate_ntt_primes(30, 1, n, exclude=used)[0]]
+    validate_security(n, q_primes + p_primes, sec_level)
+    if scale_bits is None:
+        scale_bits = q_bits[1] if len(q_bits) > 1 else q_bits[0] - 1
+    k = len(q_primes)
+
+    # slot -> NTT index via the 5^j orbit; conjugate slot = point -5^j
+    m2 = 2 * n
+    slot_to_ntt = np.empty(n // 2, np.int32)
+    g5 = 1
+    for j in range(n // 2):
+        slot_to_ntt[j] = (g5 - 1) // 2
+        g5 = g5 * 5 % m2
+
+    conj_perm = polyops.galois_perm_ntt(m2 - 1, n)
+
+    div_level = []
+    for lvl in range(k - 1):
+        ka = k - lvl
+        div_level.append(rns.DivRoundLastq.build(q_primes[:ka - 1], q_primes[ka - 1]))
+
+    return CkksContext(
+        n=n, logn=logn, k=k,
+        q_primes=tuple(q_primes), p_primes=tuple(p_primes),
+        default_scale=float(2.0 ** scale_bits), sec_level=sec_level,
+        ntt_qp=nttm.build_ntt_tables(q_primes + p_primes, n),
+        base_q=rns.Base.build(q_primes),
+        base_qp=rns.Base.build(q_primes + p_primes),
+        div_p=rns.DivRoundLastq.build(q_primes, p_primes[0]),
+        div_level=tuple(div_level),
+        slot_to_ntt=jnp.asarray(slot_to_ntt),
+        conj_perm=conj_perm,
+    )
+
+
+def _ring(ctx: CkksContext) -> RingView:
+    return RingView(ctx.n, ctx.q_primes, ctx.p_primes, ctx.base_q,
+                    ctx.base_qp, ctx.ntt_qp, ctx.div_p)
+
+
+def keygen_secret(ctx, key, hamming_weight=None):
+    return ringkit.keygen_secret(_ring(ctx), key, hamming_weight)
+
+
+def keygen_public(ctx, key, sk):
+    return ringkit.keygen_public(_ring(ctx), key, sk)
+
+
+def keygen_relin(ctx, key, sk):
+    return ringkit.keygen_relin(_ring(ctx), key, sk)
+
+
+def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8):
+    return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift)
+
+
+def keygen_switch(ctx, key, sk_old, sk_new):
+    return ringkit.keygen_switch(_ring(ctx), key, sk_old, sk_new)
+
+
+# =========================================================================
+# Ciphertext / Plaintext
+# =========================================================================
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["c"], meta_fields=["size", "level", "scale"])
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    """NTT-domain ciphertext: c (size, k-level, n); scale is float metadata
+    (reference ciphertext.cuh tracks depth_/scale_/rescale_required_)."""
+    c: jnp.ndarray
+    size: int
+    level: int
+    scale: float
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["m"], meta_fields=["level", "scale"])
+@dataclasses.dataclass(frozen=True)
+class Plaintext:
+    m: jnp.ndarray  # (k-level, n), NTT domain
+    level: int
+    scale: float
+
+
+# =========================================================================
+# Encoder (canonical embedding special FFT — host float64 path)
+# =========================================================================
+
+def _embed_coeffs_from_slots(ctx: CkksContext, z: np.ndarray) -> np.ndarray:
+    """slots (n/2 complex) -> real coefficient vector (float, unscaled)."""
+    n = ctx.n
+    half = n // 2
+    spec = np.zeros(n, np.complex128)
+    idx = np.asarray(ctx.slot_to_ntt)
+    spec[idx] = z
+    conj_idx = np.asarray(ctx.conj_perm)[idx]  # index of the conjugate point
+    spec[conj_idx] = np.conj(z)
+    # A_j = a(w_{2n}^{2j+1});  A = n * ifft(a_i * w_{2n}^i)  =>  invert:
+    u = np.fft.fft(spec) / n
+    tw = np.exp(-1j * np.pi * np.arange(n) / n)
+    a = u * tw
+    return a.real  # imaginary part ~ 0 by construction
+
+
+def _slots_from_embed_coeffs(ctx: CkksContext, a: np.ndarray) -> np.ndarray:
+    n = ctx.n
+    tw = np.exp(1j * np.pi * np.arange(n) / n)
+    spec = np.fft.ifft(a * tw) * n
+    return spec[np.asarray(ctx.slot_to_ntt)]
+
+
+def encode(ctx: CkksContext, values, scale: Optional[float] = None,
+           level: int = 0) -> Plaintext:
+    """values: up to n/2 real or complex numbers."""
+    scale = float(scale or ctx.default_scale)
+    half = ctx.n // 2
+    z = np.zeros(half, np.complex128)
+    v = np.asarray(values)
+    z[: v.size] = v
+    a = _embed_coeffs_from_slots(ctx, z) * scale
+    coeffs = np.round(a).astype(object)
+    ka = ctx.active(level)
+    res = np.empty((ka, ctx.n), np.uint32)
+    for i, q in enumerate(ctx.q_primes[:ka]):
+        res[i] = (coeffs % q).astype(np.uint64).astype(np.uint32)
+    m_ntt = nttm.ntt_fwd(jnp.asarray(res), ctx.ntt_q(level))
+    return Plaintext(m_ntt, level, scale)
+
+
+def decode(ctx: CkksContext, pt: Plaintext) -> np.ndarray:
+    """Plaintext -> n/2 complex slot values."""
+    ka = ctx.active(pt.level)
+    coeffs = np.asarray(nttm.ntt_inv(pt.m, ctx.ntt_q(pt.level)))
+    primes = [int(q) for q in ctx.q_primes[:ka]]
+    Q = _prod(primes)
+    # vectorised CRT compose with object dtype (host, test/IO path)
+    acc = np.zeros(ctx.n, object)
+    for i, q in enumerate(primes):
+        Mi = Q // q
+        acc += coeffs[i].astype(object) * ((pow(Mi, -1, q) * Mi) % Q)
+    acc %= Q
+    acc = np.where(acc >= Q // 2, acc - Q, acc)
+    a = (acc / pt.scale).astype(np.float64)
+    return _slots_from_embed_coeffs(ctx, a)
+
+
+# =========================================================================
+# Encrypt / Decrypt
+# =========================================================================
+
+@jax.jit
+def _encrypt_zero_ntt(ctx: CkksContext, pk: PublicKey, key):
+    """(c0, c1) encrypting 0 over Q, NTT domain (level 0)."""
+    ku, k0, k1 = jax.random.split(key, 3)
+    qp = ctx.base_qp
+    p, pinv, *_ = qp.bview()
+    u = nttm.ntt_fwd(rng.ternary_rns(ku, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
+    c0 = nttm.ntt_inv(mm.mont_mul(pk.pk0, u, p, pinv), ctx.ntt_qp)
+    c1 = nttm.ntt_inv(mm.mont_mul(pk.pk1, u, p, pinv), ctx.ntt_qp)
+    c0 = ctx.div_p(c0)
+    c1 = ctx.div_p(c1)
+    qb = ctx.base_q
+    e0 = rng.gaussian_rns(k0, ctx.q_primes, (ctx.n,))
+    e1 = rng.gaussian_rns(k1, ctx.q_primes, (ctx.n,))
+    c0 = mm.add_mod(c0, e0, qb.p[:, None])
+    c1 = mm.add_mod(c1, e1, qb.p[:, None])
+    return nttm.ntt_fwd(jnp.stack([c0, c1]), ctx.ntt_qp.slice_limbs(0, ctx.k))
+
+
+def encrypt(ctx: CkksContext, pk: PublicKey, pt: Plaintext, key) -> Ciphertext:
+    assert pt.level == 0, "encrypt at level 0 (mod_drop afterwards if needed)"
+    z = _encrypt_zero_ntt(ctx, pk, key)
+    p = ctx.base_q.p[:, None]
+    c0 = mm.add_mod(z[0], pt.m, p)
+    return Ciphertext(jnp.stack([c0, z[1]]), 2, 0, pt.scale)
+
+
+@partial(jax.jit, static_argnames=("level", "size"))
+def _ct_dot_sk(ctx: CkksContext, c, sk: SecretKey, level: int, size: int):
+    ka = ctx.active(level)
+    qb = ctx.base_q_at(level)
+    p, pinv, *_ = qb.bview()
+    s = sk.s_ntt_mont_qp[:ka]
+    acc = mm.add_mod(c[0], mm.mont_mul(c[1], s, p, pinv), p)
+    if size == 3:
+        s2 = mm.mont_mul(s, s, p, pinv)
+        acc = mm.add_mod(acc, mm.mont_mul(c[2], s2, p, pinv), p)
+    return acc
+
+
+def decrypt(ctx: CkksContext, sk: SecretKey, ct: Ciphertext) -> Plaintext:
+    m = _ct_dot_sk(ctx, ct.c, sk, ct.level, ct.size)
+    return Plaintext(m, ct.level, ct.scale)
+
+
+# =========================================================================
+# Leveled arithmetic
+# =========================================================================
+
+def _p_at(ctx, level):
+    return ctx.base_q_at(level).p[:, None]
+
+
+@partial(jax.jit, static_argnames=("level",))
+def _add_core(ctx, a, b, level):
+    return mm.add_mod(a, b, _p_at(ctx, level))
+
+
+@partial(jax.jit, static_argnames=("level",))
+def _sub_core(ctx, a, b, level):
+    return mm.sub_mod(a, b, _p_at(ctx, level))
+
+
+def _check_compat(a: Ciphertext, b: Ciphertext):
+    assert a.level == b.level, "level mismatch (mod_drop first)"
+    assert abs(a.scale - b.scale) <= 1e-6 * a.scale, "scale mismatch"
+
+
+def add(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compat(a, b)
+    sz = max(a.size, b.size)
+    ca, cb = a.c, b.c
+    if a.size != b.size:  # pad the shorter with zeros
+        if a.size < sz:
+            ca = jnp.concatenate([ca, jnp.zeros_like(cb[a.size:])])
+        else:
+            cb = jnp.concatenate([cb, jnp.zeros_like(ca[b.size:])])
+    return Ciphertext(_add_core(ctx, ca, cb, a.level), sz, a.level, a.scale)
+
+
+def sub(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compat(a, b)
+    assert a.size == b.size
+    return Ciphertext(_sub_core(ctx, a.c, b.c, a.level), a.size, a.level, a.scale)
+
+
+def negate(ctx, a: Ciphertext) -> Ciphertext:
+    return Ciphertext(mm.neg_mod(a.c, _p_at(ctx, a.level)), a.size, a.level, a.scale)
+
+
+def add_plain(ctx, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    assert a.level == pt.level and abs(a.scale - pt.scale) <= 1e-6 * a.scale
+    c0 = _add_core(ctx, a.c[0], pt.m, a.level)
+    return Ciphertext(a.c.at[0].set(c0), a.size, a.level, a.scale)
+
+
+def sub_plain(ctx, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    assert a.level == pt.level and abs(a.scale - pt.scale) <= 1e-6 * a.scale
+    c0 = _sub_core(ctx, a.c[0], pt.m, a.level)
+    return Ciphertext(a.c.at[0].set(c0), a.size, a.level, a.scale)
+
+
+@partial(jax.jit, static_argnames=("level",))
+def _mul_core(ctx, a, b, level):
+    """(2,k,n) x (2,k,n) -> (3,k,n) pointwise in NTT domain."""
+    qb = ctx.base_q_at(level)
+    p, pinv, r2, *_ = qb.bview()
+    a0m = mm.to_mont(a[0], p, pinv, r2)
+    a1m = mm.to_mont(a[1], p, pinv, r2)
+    c0 = mm.mont_mul(a0m, b[0], p, pinv)
+    c1 = mm.add_mod(mm.mont_mul(a0m, b[1], p, pinv),
+                    mm.mont_mul(a1m, b[0], p, pinv), p)
+    c2 = mm.mont_mul(a1m, b[1], p, pinv)
+    return jnp.stack([c0, c1, c2])
+
+
+def multiply(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_compat(a, b)
+    assert a.size == 2 and b.size == 2
+    return Ciphertext(_mul_core(ctx, a.c, b.c, a.level), 3, a.level,
+                      a.scale * b.scale)
+
+
+@partial(jax.jit, static_argnames=("level",))
+def _mul_plain_core(ctx, c, m, level):
+    qb = ctx.base_q_at(level)
+    p, pinv, r2, *_ = qb.bview()
+    m_mont = mm.to_mont(m, p, pinv, r2)
+    return mm.mont_mul(c, m_mont[None], p, pinv)
+
+
+def multiply_plain(ctx, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    assert a.level == pt.level
+    return Ciphertext(_mul_plain_core(ctx, a.c, pt.m, a.level),
+                      a.size, a.level, a.scale * pt.scale)
+
+
+@partial(jax.jit, static_argnames=("level", "size"))
+def _rescale_core(ctx, c, level, size):
+    """Drop the last active limb with rounding (NTT-domain rescale).
+    Reference analog: rescale_inplace (operator.cu:1156-1244)."""
+    ka = ctx.active(level)
+    dv = ctx.div_level[level]
+    tb_last = ctx.ntt_qp.slice_limbs(ka - 1, ka)
+    tb_rest = ctx.ntt_qp.slice_limbs(0, ka - 1)
+    last = nttm.ntt_inv(c[:, ka - 1: ka, :], tb_last)          # (size,1,n) coeff
+    r = mm.add_mod(last, dv.half, dv.p_last)
+    pj, _, _, muj, _, _ = dv.qbase.bview()
+    # (r - half) per coefficient, reduced into each remaining limb, then NTT:
+    # out = (c - NTT(r - half)) * q_last^{-1}; the +half/-half pair implements
+    # round() and must be applied per *coefficient*, hence folded into the
+    # lifted remainder before transforming back.
+    r_mod = mm.barrett32(r, pj, muj)                            # (size,ka-1,n)
+    r_mod = mm.sub_mod(r_mod, dv.half_mod[:, None], pj)
+    lift = nttm.ntt_fwd(r_mod, tb_rest)
+    num = mm.sub_mod(c[:, : ka - 1, :], lift, pj)
+    return mm.shoup_mul(num, dv.pinv_mod[:, None], dv.pinv_mod_sh[:, None], pj)
+
+
+def rescale(ctx, a: Ciphertext) -> Ciphertext:
+    assert ctx.active(a.level) > 1, "no limb left to rescale"
+    out = _rescale_core(ctx, a.c, a.level, a.size)
+    q_last = int(ctx.q_primes[ctx.active(a.level) - 1])
+    return Ciphertext(out, a.size, a.level + 1, a.scale / q_last)
+
+
+def mod_drop(ctx, a: Ciphertext, levels: int = 1) -> Ciphertext:
+    ka = ctx.active(a.level)
+    return Ciphertext(a.c[:, : ka - levels, :], a.size, a.level + levels, a.scale)
+
+
+def mod_drop_plain(ctx, pt: Plaintext, levels: int = 1) -> Plaintext:
+    ka = ctx.active(pt.level)
+    return Plaintext(pt.m[: ka - levels], pt.level + levels, pt.scale)
+
+
+# =========================================================================
+# Keyswitch-based ops (relinearize / rotate / conjugate)
+# =========================================================================
+
+@partial(jax.jit, static_argnames=("level",))
+def _keyswitch_poly(ctx, poly_ntt, k0, k1, level):
+    """Keyswitch one NTT-domain poly at `level`; returns (d0,d1) NTT-domain."""
+    ka = ctx.active(level)
+    k0s = ringkit.slice_key_level(k0, ka, ctx.k)
+    k1s = ringkit.slice_key_level(k1, ka, ctx.k)
+    return ringkit.keyswitch_core(
+        poly_ntt, k0s, k1s, ctx.base_qp_at(level), ctx.ntt_qp_at(level),
+        ctx.div_p_at(level), in_ntt=True, out_ntt=True, ntt_q=ctx.ntt_q(level))
+
+
+def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:
+    assert a.size == 3
+    d0, d1 = _keyswitch_poly(ctx, a.c[2], rk.k0, rk.k1, a.level)
+    p = _p_at(ctx, a.level)
+    return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p),
+                                 mm.add_mod(a.c[1], d1, p)]),
+                      2, a.level, a.scale)
+
+
+def apply_galois(ctx, a: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
+    assert a.size == 2
+    p = _p_at(ctx, a.level)
+    g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
+    g1 = polyops.apply_galois_ntt(a.c[1], gk1.perm_ntt)
+    d0, d1 = _keyswitch_poly(ctx, g1, gk1.k0, gk1.k1, a.level)
+    return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), 2, a.level, a.scale)
+
+
+def rotate(ctx, a: Ciphertext, gk: GaloisKey, step: int) -> Ciphertext:
+    """Rotate slots left by `step` using the stored power-of-two key chain."""
+    n = ctx.n
+    step = step % (n // 2)
+    if step == 0:
+        return a
+    out = a
+    remaining = step
+    for j in reversed(range(16)):
+        sz = 1 << j
+        while remaining >= sz:
+            g = polyops.steps_to_galois_elt(sz, n)
+            if g in gk.keys:
+                out = apply_galois(ctx, out, gk.keys[g])
+                remaining -= sz
+            else:
+                break
+        if remaining == 0:
+            break
+    if remaining:
+        raise ValueError(f"no galois key chain reaches step {step}")
+    return out
+
+
+def conjugate(ctx, a: Ciphertext, gk: GaloisKey) -> Ciphertext:
+    return apply_galois(ctx, a, gk.keys["conj"])
+
+
+def switch_key(ctx, a: Ciphertext, swk: KSKey) -> Ciphertext:
+    assert a.size == 2
+    d0, d1 = _keyswitch_poly(ctx, a.c[1], swk.k0, swk.k1, a.level)
+    p = _p_at(ctx, a.level)
+    return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p), d1]), 2, a.level, a.scale)

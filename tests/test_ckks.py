@@ -1,0 +1,115 @@
+"""CKKS end-to-end tests (closeness oracles like the reference test_ckks_*)."""
+
+import numpy as np
+import pytest
+
+from heongpu_tpu.models import ckks
+from heongpu_tpu.utils import rng
+
+RNG = np.random.default_rng(21)
+
+
+def _ctx():
+    # n=1024: q0 29-bit, three 25-bit scale primes, scale 2^25
+    return ckks.make_context(1024, [29, 25, 25, 25], scale_bits=25, sec_level="none")
+
+
+CTX = _ctx()
+SK = ckks.keygen_secret(CTX, rng.new_key(31))
+PK = ckks.keygen_public(CTX, rng.new_key(32), SK)
+
+
+def _msg(scale=1.0):
+    half = CTX.n // 2
+    return (RNG.uniform(-scale, scale, half)
+            + 1j * RNG.uniform(-scale, scale, half))
+
+
+def test_encode_decode_roundtrip():
+    z = _msg()
+    got = ckks.decode(CTX, ckks.encode(CTX, z))
+    np.testing.assert_allclose(got, z, atol=2e-5)
+
+
+def test_encrypt_decrypt():
+    z = _msg()
+    ct = ckks.encrypt(CTX, PK, ckks.encode(CTX, z), rng.new_key(33))
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ct))
+    np.testing.assert_allclose(got, z, atol=5e-4)
+
+
+def test_add_sub():
+    z1, z2 = _msg(), _msg()
+    ct1 = ckks.encrypt(CTX, PK, ckks.encode(CTX, z1), rng.new_key(34))
+    ct2 = ckks.encrypt(CTX, PK, ckks.encode(CTX, z2), rng.new_key(35))
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ckks.add(CTX, ct1, ct2)))
+    np.testing.assert_allclose(got, z1 + z2, atol=1e-3)
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ckks.sub(CTX, ct1, ct2)))
+    np.testing.assert_allclose(got, z1 - z2, atol=1e-3)
+
+
+def test_multiply_relin_rescale():
+    z1, z2 = _msg(), _msg()
+    rk = ckks.keygen_relin(CTX, rng.new_key(36), SK)
+    ct1 = ckks.encrypt(CTX, PK, ckks.encode(CTX, z1), rng.new_key(37))
+    ct2 = ckks.encrypt(CTX, PK, ckks.encode(CTX, z2), rng.new_key(38))
+    ct3 = ckks.rescale(CTX, ckks.relinearize(CTX, ckks.multiply(CTX, ct1, ct2), rk))
+    assert ct3.level == 1 and ct3.size == 2
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ct3))
+    np.testing.assert_allclose(got, z1 * z2, atol=5e-3)
+
+
+def test_multiply_plain_and_depth2():
+    z1, z2, z3 = _msg(), _msg(), _msg()
+    rk = ckks.keygen_relin(CTX, rng.new_key(39), SK)
+    ct1 = ckks.encrypt(CTX, PK, ckks.encode(CTX, z1), rng.new_key(40))
+    pt2 = ckks.encode(CTX, z2)
+    prod = ckks.rescale(CTX, ckks.multiply_plain(CTX, ct1, pt2))
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, prod))
+    np.testing.assert_allclose(got, z1 * z2, atol=5e-3)
+    # depth-2: (z1*z2) * z3
+    ct3 = ckks.encrypt(CTX, PK, ckks.encode(CTX, z3), rng.new_key(41))
+    ct3 = ckks.rescale(CTX, ckks.multiply_plain(CTX, ct3,
+                                                ckks.encode(CTX, np.ones(CTX.n // 2))))
+    out = ckks.rescale(CTX, ckks.relinearize(CTX, ckks.multiply(CTX, prod, ct3), rk))
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, out))
+    np.testing.assert_allclose(got, z1 * z2 * z3, atol=5e-2)
+
+
+def test_add_plain_scale_match():
+    z1, z2 = _msg(), _msg()
+    ct = ckks.encrypt(CTX, PK, ckks.encode(CTX, z1), rng.new_key(42))
+    pt = ckks.encode(CTX, z2, scale=ct.scale)
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ckks.add_plain(CTX, ct, pt)))
+    np.testing.assert_allclose(got, z1 + z2, atol=1e-3)
+
+
+def test_rotate_conjugate():
+    z = _msg()
+    gk = ckks.keygen_galois(CTX, rng.new_key(43), SK, steps=[1, 2])
+    ct = ckks.encrypt(CTX, PK, ckks.encode(CTX, z), rng.new_key(44))
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ckks.rotate(CTX, ct, gk, 1)))
+    np.testing.assert_allclose(got, np.roll(z, -1), atol=2e-3)
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ckks.rotate(CTX, ct, gk, 3)))
+    np.testing.assert_allclose(got, np.roll(z, -3), atol=5e-3)
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ckks.conjugate(CTX, ct, gk)))
+    np.testing.assert_allclose(got, np.conj(z), atol=2e-3)
+
+
+def test_rotate_at_level():
+    z = _msg()
+    gk = ckks.keygen_galois(CTX, rng.new_key(45), SK, steps=[1])
+    ct = ckks.encrypt(CTX, PK, ckks.encode(CTX, z), rng.new_key(46))
+    ct = ckks.rescale(CTX, ckks.multiply_plain(
+        CTX, ct, ckks.encode(CTX, np.ones(CTX.n // 2))))
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ckks.rotate(CTX, ct, gk, 1)))
+    np.testing.assert_allclose(got, np.roll(z, -1), atol=5e-3)
+
+
+def test_mod_drop():
+    z = _msg()
+    ct = ckks.encrypt(CTX, PK, ckks.encode(CTX, z), rng.new_key(47))
+    ct = ckks.mod_drop(CTX, ct)
+    assert ct.level == 1
+    got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ct))
+    np.testing.assert_allclose(got, z, atol=1e-3)
