@@ -1,0 +1,419 @@
+"""TFHE scheme (torus/boolean, gate bootstrapping) — TPU-native implementation.
+
+Capability match for HEonGPU's TFHE family (src/lib/host/tfhe/*: fixed STD128
+context, LWE encrypt/decrypt of bool vectors, NAND/AND/NOR/OR/XNOR/XOR/NOT/
+MUX through blind-rotation gate bootstrapping + LWE keyswitch — SURVEY §2.5),
+with the same STD128 parameter shape (LWE n=512, TRLWE N=1024 k=1, l=2
+bg_bit=10 decomposition, base-4 length-8 keyswitch; reference
+src/lib/host/tfhe/context.cu:36-57).
+
+TPU-first redesign (vs the reference's sequential per-gate kernel chain,
+operator.cu:200-270):
+  * everything is *batched over gates* (leading batch axis B): the n=512 CMux
+    chain is a lax.fori_loop whose body processes all gates at once — the MXU
+    /VPU see (B,4,2,N) tensors instead of 512 tiny kernel launches;
+  * the 61-bit NTT prime of the reference is replaced by a CRT pair of
+    < 2**30 primes (uint32 lanes), reconstructed to Torus32 after INTT;
+  * torus arithmetic is plain uint32 wraparound (mod 2^32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as nttm
+from ..utils import nt, rng
+
+U32 = jnp.uint32
+
+# ------------------------------------------------------------------
+# STD128 parameters (reference host/tfhe/context.cu:36-57)
+# ------------------------------------------------------------------
+LWE_N = 512
+TRLWE_N = 1024
+TRLWE_K = 1
+BK_L = 2
+BG_BIT = 10
+BG = 1 << BG_BIT
+KS_BASE_BIT = 2
+KS_BASE = 1 << KS_BASE_BIT
+KS_LENGTH = 8
+SIGMA_KS = math.sqrt(2.0 / math.pi) * (2.0 ** -15)
+SIGMA_BK = math.sqrt(2.0 / math.pi) * 9.0e-9
+MU = np.uint32(1 << 29)  # 1/8 of the torus
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ntt", "p1p2_mod32", "p1p2_half_hi", "p1p2_half_lo",
+                 "p1_inv_p2", "p1_inv_p2_sh", "offset"],
+    meta_fields=["n", "N", "k", "l", "bg_bit", "ks_base_bit", "ks_length",
+                 "primes"],
+)
+@dataclasses.dataclass(frozen=True)
+class TfheContext:
+    n: int
+    N: int
+    k: int
+    l: int
+    bg_bit: int
+    ks_base_bit: int
+    ks_length: int
+    primes: tuple
+    ntt: nttm.NttTables          # CRT pair over N=1024
+    p1p2_mod32: jnp.ndarray      # () P=p1*p2 mod 2^32
+    p1p2_half_hi: jnp.ndarray    # () floor(P/2) >> 32
+    p1p2_half_lo: jnp.ndarray    # () floor(P/2) & mask
+    p1_inv_p2: jnp.ndarray       # () p1^{-1} mod p2
+    p1_inv_p2_sh: jnp.ndarray
+    offset: jnp.ndarray          # () gadget decomposition offset
+
+
+def make_context() -> TfheContext:
+    primes = nt.generate_ntt_primes(30, 2, TRLWE_N)
+    p1, p2 = primes
+    P = p1 * p2
+    inv = pow(p1, -1, p2)
+    offset = sum((BG // 2) << (32 - (p + 1) * BG_BIT) for p in range(BK_L)) % (1 << 32)
+    return TfheContext(
+        n=LWE_N, N=TRLWE_N, k=TRLWE_K, l=BK_L, bg_bit=BG_BIT,
+        ks_base_bit=KS_BASE_BIT, ks_length=KS_LENGTH, primes=tuple(primes),
+        ntt=nttm.build_ntt_tables(primes, TRLWE_N),
+        p1p2_mod32=jnp.uint32(P % (1 << 32)),
+        p1p2_half_hi=jnp.uint32((P // 2) >> 32),
+        p1p2_half_lo=jnp.uint32((P // 2) & 0xFFFFFFFF),
+        p1_inv_p2=jnp.uint32(inv),
+        p1_inv_p2_sh=jnp.uint32(mm.shoup(inv, p2)),
+        offset=jnp.uint32(offset),
+    )
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["lwe", "rlwe"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class SecretKey:
+    lwe: jnp.ndarray   # (n,) uint32 binary
+    rlwe: jnp.ndarray  # (N,) uint32 binary
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bk", "ksk_a", "ksk_b"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class BootKey:
+    """bk: (n, (k+1)l, k+1, 2, N) NTT+Montgomery TGSW rows;
+    ksk: LWE_n(v * rlwe_j * 2^(32-(t+1)*basebit)) for v in [0, base)."""
+    bk: jnp.ndarray
+    ksk_a: jnp.ndarray  # (N, ks_length, base, n) uint32
+    ksk_b: jnp.ndarray  # (N, ks_length, base) uint32
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["a", "b"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    """Batched LWE samples (reference ciphertext.cuh a/b device arrays)."""
+    a: jnp.ndarray  # (B, n) uint32
+    b: jnp.ndarray  # (B,) uint32
+
+
+def keygen_secret(key) -> SecretKey:
+    k1, k2 = jax.random.split(key)
+    lwe = jax.random.randint(k1, (LWE_N,), 0, 2, dtype=jnp.int32).astype(U32)
+    rlwe = jax.random.randint(k2, (TRLWE_N,), 0, 2, dtype=jnp.int32).astype(U32)
+    return SecretKey(lwe, rlwe)
+
+
+def _torus_noise(key, shape, sigma):
+    g = jax.random.normal(key, shape, jnp.float32) * (sigma * (2.0 ** 32))
+    return jnp.round(g).astype(jnp.int32).astype(U32)
+
+
+def _polymul_rlwe_key_torus(ctx: TfheContext, a, s_ntt_mont):
+    """Negacyclic a(X)*s(X) over Torus32 via the CRT NTT pair.
+
+    a: (..., N) uint32 torus; s_ntt_mont: (2, N) NTT+mont of the binary key."""
+    ar = _torus_to_rns(ctx, a)                          # (..., 2, N)
+    A = nttm.ntt_fwd(ar, ctx.ntt)
+    p = ctx.ntt.p[:, None]
+    pinv = ctx.ntt.pinv[:, None]
+    prod = mm.mont_mul(A, s_ntt_mont, p, pinv)
+    c = nttm.ntt_inv(prod, ctx.ntt)
+    return _rns_to_torus(ctx, c)
+
+
+def _torus_to_rns(ctx: TfheContext, v):
+    """uint32 torus (centered semantics) -> residues mod (p1,p2): (..., 2, N)."""
+    p = ctx.ntt.p
+    neg = v >= jnp.uint32(1 << 31)
+    mag = jnp.where(neg, -v, v)  # |centered value|, wraparound negation
+    out = []
+    for li in range(2):
+        m = mm.barrett32(mag, p[li], ctx.ntt.mu[li])
+        out.append(jnp.where(neg, mm.neg_mod(m, p[li]), m))
+    return jnp.stack(out, axis=-2)
+
+
+def _rns_to_torus(ctx: TfheContext, r):
+    """(..., 2, N) residues -> centered value mod 2^32 (Torus32)."""
+    r1 = r[..., 0, :]
+    r2 = r[..., 1, :]
+    p1 = ctx.ntt.p[0]
+    p2 = ctx.ntt.p[1]
+    t = mm.sub_mod(r2, mm.barrett32(r1, p2, ctx.ntt.mu[1]), p2)
+    t = mm.shoup_mul(t, ctx.p1_inv_p2, ctx.p1_inv_p2_sh, p2)
+    hi, lo = mm.widening_mul(t, p1)
+    lo2 = lo + r1
+    hi = hi + (lo2 < lo).astype(U32)
+    # centered: subtract P if value >= P/2 (64-bit compare)
+    ge = jnp.logical_or(hi > ctx.p1p2_half_hi,
+                        jnp.logical_and(hi == ctx.p1p2_half_hi,
+                                        lo2 >= ctx.p1p2_half_lo))
+    return jnp.where(ge, lo2 - ctx.p1p2_mod32, lo2)
+
+
+def keygen_boot(ctx: TfheContext, key, sk: SecretKey) -> BootKey:
+    """Bootstrapping key (TGSW(s_lwe_i) under rlwe key, NTT domain) + LWE
+    keyswitch key.  Reference analog: keygenerator.cu:61-180."""
+    n, N, l = ctx.n, ctx.N, ctx.l
+    k_bk_a, k_bk_e, k_ks_a, k_ks_e = jax.random.split(key, 4)
+
+    s_rns = rng.signed_to_rns(sk.rlwe.astype(jnp.int32), ctx.primes)
+    p = ctx.ntt.p[:, None]
+    pinv = ctx.ntt.pinv[:, None]
+    r2 = ctx.ntt.r2[:, None]
+    s_ntt_mont = mm.to_mont(nttm.ntt_fwd(s_rns, ctx.ntt), p, pinv, r2)
+
+    rows = (ctx.k + 1) * l                       # 4
+    # TRLWE(0) for every (i, row): a uniform torus poly, b = a*s + e
+    a = jax.random.bits(k_bk_a, (n, rows, N), dtype=U32)
+    e = _torus_noise(k_bk_e, (n, rows, N), SIGMA_BK)
+    b = _polymul_rlwe_key_torus(ctx, a, s_ntt_mont) + e   # uint32 wrap
+    # gadget: row (c, p) adds the constant s_i * 2^(32-(p+1)*bgbit) to
+    # component c — i.e. to coefficient 0 only (the message is a constant)
+    gad = np.zeros((rows, 2, N), np.uint32)      # (row, comp, N)
+    for c in range(ctx.k + 1):
+        for pdig in range(l):
+            gad[c * l + pdig, c, 0] = 1 << (32 - (pdig + 1) * ctx.bg_bit)
+    gadj = jnp.asarray(gad)[None]                # (1, rows, comp, N)
+    si = sk.lwe[:, None, None, None]             # (n,1,1,1)
+    trlwe = jnp.stack([a, b], axis=2)            # (n, rows, comp=2, N)
+    trlwe = trlwe + si * gadj                    # uint32 wrap add of message
+    # to NTT+Montgomery over the CRT pair: (n, rows, comp, 2, N)
+    bk_rns = _torus_to_rns(ctx, trlwe)
+    bk_ntt = nttm.ntt_fwd(bk_rns, ctx.ntt)
+    bk = mm.to_mont(bk_ntt, p, pinv, r2)
+
+    # keyswitch key: LWE_n( v * s'_j * 2^(32-(t+1)*basebit) )
+    base = 1 << ctx.ks_base_bit
+    ksk_a = jax.random.bits(k_ks_a, (N, ctx.ks_length, base, n), dtype=U32)
+    e_ks = _torus_noise(k_ks_e, (N, ctx.ks_length, base), SIGMA_KS)
+    shift = jnp.asarray(
+        np.array([1 << (32 - (t + 1) * ctx.ks_base_bit)
+                  for t in range(ctx.ks_length)], np.uint32))
+    v = jnp.arange(base, dtype=U32)
+    msg = (sk.rlwe[:, None, None] * shift[None, :, None] * v[None, None, :])
+    ksk_b = jnp.sum(ksk_a * sk.lwe[None, None, None, :], axis=-1) + e_ks + msg
+    # zero out the v=0 slice so it adds nothing (incl. its noise)
+    ksk_a = ksk_a.at[:, :, 0, :].set(0)
+    ksk_b = ksk_b.at[:, :, 0].set(0)
+    return BootKey(bk, ksk_a, ksk_b)
+
+
+# ------------------------------------------------------------------
+# LWE encrypt / decrypt
+# ------------------------------------------------------------------
+
+def encrypt(ctx: TfheContext, sk: SecretKey, bits, key) -> Ciphertext:
+    """bits: (B,) bools -> batched LWE with mu = ±1/8."""
+    bits = jnp.asarray(bits)
+    B = bits.shape[0]
+    ka, ke = jax.random.split(key)
+    a = jax.random.bits(ka, (B, ctx.n), dtype=U32)
+    e = _torus_noise(ke, (B,), SIGMA_KS)
+    mu = jnp.where(bits, MU, jnp.uint32(-np.int64(MU) & 0xFFFFFFFF))
+    b = jnp.sum(a * sk.lwe[None, :], axis=-1) + mu + e
+    return Ciphertext(a, b)
+
+
+def decrypt(ctx: TfheContext, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
+    phase = ct.b - jnp.sum(ct.a * sk.lwe[None, :], axis=-1)
+    return np.asarray(phase < jnp.uint32(1 << 31))
+
+
+# ------------------------------------------------------------------
+# Gate bootstrapping pipeline
+# ------------------------------------------------------------------
+
+def _negacyclic_rotate_batch(x, amt, N):
+    """x: (B, ..., N) torus; amt: (B,) rotation exponents in [0, 2N):
+    returns X^amt * x per batch element."""
+    j = jnp.arange(N, dtype=jnp.int32)[None, :]           # (1, N)
+    src = (j - amt[:, None].astype(jnp.int32)) % (2 * N)  # (B, N)
+    flip = src >= N
+    src = jnp.where(flip, src - N, src)
+    extra = x.ndim - 2
+    src_b = src.reshape(src.shape[0], *([1] * extra), N)
+    src_b = jnp.broadcast_to(src_b, x.shape)
+    g = jnp.take_along_axis(x, src_b, axis=-1)
+    flip_b = jnp.broadcast_to(flip.reshape(flip.shape[0], *([1] * extra), N), x.shape)
+    return jnp.where(flip_b, -g, g)
+
+
+def _decompose(ctx: TfheContext, d):
+    """Approximate signed gadget decomposition of (B, comp, N) torus into
+    (B, comp*l, N) digits in [-bg/2, bg/2)."""
+    u = d + ctx.offset
+    digs = []
+    for pdig in range(ctx.l):
+        sh = 32 - (pdig + 1) * ctx.bg_bit
+        digs.append(((u >> sh) & jnp.uint32(BG - 1)).astype(jnp.int32) - BG // 2)
+    # layout must match gadget rows: (comp, l) flattened in row-major
+    out = jnp.stack(digs, axis=-2)                        # (B, comp, l, N)
+    return out.reshape(d.shape[0], -1, d.shape[-1])       # (B, comp*l, N)
+
+
+def _signed_to_rns(ctx: TfheContext, d):
+    """int32 digits -> (.., 2, N) residues."""
+    p = ctx.ntt.p.reshape(1, 1, 2, 1)
+    neg = d < 0
+    mag = jnp.abs(d).astype(U32)[..., None, :]
+    mag = jnp.broadcast_to(mag, mag.shape[:-2] + (2, mag.shape[-1]))
+    return jnp.where(neg[..., None, :], jnp.where(mag == 0, mag, p - mag), mag)
+
+
+def _external_product(ctx: TfheContext, bk_i, d):
+    """TGSW (NTT+mont, (B?,rows,comp,2,N)) ⊡ TRLWE diff d (B,comp,N) torus."""
+    digs = _decompose(ctx, d)                             # (B, rows, N) int32
+    dr = _signed_to_rns(ctx, digs)                        # (B, rows, 2, N)
+    D = nttm.ntt_fwd(dr, ctx.ntt)
+    p = ctx.ntt.p[:, None]
+    pinv = ctx.ntt.pinv[:, None]
+    prod = mm.mont_mul(D[:, :, None], bk_i, p, pinv)      # (B, rows, comp, 2, N)
+    acc = prod[:, 0]
+    for r in range(1, prod.shape[1]):
+        acc = mm.add_mod(acc, prod[:, r], p)
+    c = nttm.ntt_inv(acc, ctx.ntt)                        # (B, comp, 2, N)
+    return _rns_to_torus(ctx, c)                          # (B, comp, N)
+
+
+def _modswitch(x, N):
+    """Torus32 -> exponent of X in [0, 2N)."""
+    sh = 32 - (2 * N).bit_length() + 1                    # 32 - log2(2N)
+    return ((x + (jnp.uint32(1) << (sh - 1))) >> sh).astype(jnp.int32)
+
+
+@jax.jit
+def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
+    """Blind rotation + sample extract + keyswitch for a batch of LWEs whose
+    phase sign encodes the bit; returns fresh LWEs with payload ±mu.
+
+    Reference analog: HELogicOperator<TFHE>::bootstrapping + key_switching
+    (operator.cu:200-294), restructured as one fori_loop over the n CMux
+    steps with everything batched over gates."""
+    B = ct.a.shape[0]
+    N = ctx.N
+    # test vector: all-mu constant polynomial row
+    testv = jnp.broadcast_to(MU, (B, N)).astype(U32)
+    b_t = _modswitch(ct.b, N)                             # (B,)
+    acc_b = _negacyclic_rotate_batch(testv[:, None, :], (2 * N - b_t) % (2 * N), N)
+    acc = jnp.concatenate([jnp.zeros((B, 1, N), U32), acc_b], axis=1)  # (B,2,N)
+    a_t = _modswitch(ct.a, N)                             # (B, n)
+
+    def body(i, acc):
+        rot = _negacyclic_rotate_batch(acc, a_t[:, i] % (2 * N), N)
+        d = rot - acc                                     # uint32 wrap
+        ext = _external_product(ctx, bk.bk[i], d)
+        return acc + ext
+
+    acc = jax.lax.fori_loop(0, ctx.n, body, acc)
+
+    # sample extract at coefficient 0
+    a_poly = acc[:, 0, :]
+    b_out = acc[:, 1, 0]
+    # ext_a[j] = a[0] if j==0 else -a[N-j]  (constant-term sample extraction)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    rolled = jnp.roll(a_poly[:, ::-1], 1, axis=-1)        # rolled[j] = a[(N-j) mod N]
+    ext_a = jnp.where(idx[None, :] == 0, rolled, -rolled)
+
+    # keyswitch N -> n (base-4, length-8 digit gather; reference
+    # tfhe_key_switching_kernel)
+    sh0 = 32 - ctx.ks_base_bit * ctx.ks_length
+    u = ext_a + (jnp.uint32(1) << (sh0 - 1))              # rounding
+    out_a = jnp.zeros((B, ctx.n), U32)
+    out_b = b_out
+    for t in range(ctx.ks_length):
+        sh = 32 - (t + 1) * ctx.ks_base_bit
+        dig = (u >> sh) & jnp.uint32(KS_BASE - 1)         # (B, N)
+        ka = bk.ksk_a[:, t]                               # (N, base, n)
+        kb = bk.ksk_b[:, t]                               # (N, base)
+        sel_a = jnp.take_along_axis(
+            ka[None], dig[:, :, None, None].astype(jnp.int32), axis=2
+        )[:, :, 0]                                        # (B, N, n)
+        sel_b = jnp.take_along_axis(
+            kb[None], dig[:, :, None].astype(jnp.int32), axis=2)[:, :, 0]  # (B,N)
+        out_a = out_a - jnp.sum(sel_a, axis=1)
+        out_b = out_b - jnp.sum(sel_b, axis=1)
+    return Ciphertext(out_a, out_b)
+
+
+# ------------------------------------------------------------------
+# Gates (reference operator.cuh:53-812)
+# ------------------------------------------------------------------
+
+def _const_ct(B, val) -> Ciphertext:
+    return Ciphertext(jnp.zeros((B, LWE_N), U32),
+                      jnp.full((B,), val, U32))
+
+
+def NAND(ctx, bk, c1: Ciphertext, c2: Ciphertext) -> Ciphertext:
+    pre = Ciphertext(-(c1.a + c2.a), MU - c1.b - c2.b)
+    return bootstrap_raw(ctx, bk, pre)
+
+
+def AND(ctx, bk, c1, c2) -> Ciphertext:
+    pre = Ciphertext(c1.a + c2.a, c1.b + c2.b - MU)
+    return bootstrap_raw(ctx, bk, pre)
+
+
+def OR(ctx, bk, c1, c2) -> Ciphertext:
+    pre = Ciphertext(c1.a + c2.a, c1.b + c2.b + MU)
+    return bootstrap_raw(ctx, bk, pre)
+
+
+def NOR(ctx, bk, c1, c2) -> Ciphertext:
+    pre = Ciphertext(-(c1.a + c2.a), -(c1.b + c2.b) - MU)
+    return bootstrap_raw(ctx, bk, pre)
+
+
+def XOR(ctx, bk, c1, c2) -> Ciphertext:
+    two = jnp.uint32(2)
+    pre = Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU)
+    return bootstrap_raw(ctx, bk, pre)
+
+
+def XNOR(ctx, bk, c1, c2) -> Ciphertext:
+    two = jnp.uint32(2)
+    pre = Ciphertext(-(two * (c1.a + c2.a)),
+                     -(two * (c1.b + c2.b)) - two * MU)
+    return bootstrap_raw(ctx, bk, pre)
+
+
+def NOT(ctx, c1: Ciphertext) -> Ciphertext:
+    """No bootstrap needed (reference operator.cuh:640)."""
+    return Ciphertext(-c1.a, -c1.b)
+
+
+def MUX(ctx, bk, sel, c_true, c_false) -> Ciphertext:
+    """sel ? c_true : c_false — two bootstraps + final add (reference
+    operator.cuh:688-812)."""
+    t = AND(ctx, bk, sel, c_true)
+    f = AND(ctx, bk, NOT(ctx, sel), c_false)
+    pre = Ciphertext(t.a + f.a, t.b + f.b + MU)
+    return bootstrap_raw(ctx, bk, pre)
