@@ -1,0 +1,68 @@
+"""North-star benchmark: CKKS N=2^16 ct-ct multiply + relinearize ops/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: HEonGPU publishes no direct mult+relin ops/s table; its
+benchmark binaries print local timings.  We anchor vs_baseline to an
+RTX-4090-class estimate of 500 ops/s (2 ms per N=2^16 multiply+relinearize,
+consistent with the reference's published bootstrapping throughput in
+README.md:97-123, where one slim bootstrap ≈ dozens of such ops in ~100 ms).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_OPS_S = 500.0
+
+
+def main():
+    small = "--small" in sys.argv
+    import jax
+    from heongpu_tpu.models import ckks
+    from heongpu_tpu.utils import rng
+
+    n = 4096 if small else 65536
+    nq = 4 if small else 12
+    q_bits = [29] + [29] * (nq - 1)
+
+    ctx = ckks.make_context(n, q_bits, sec_level="none")
+    sk = ckks.keygen_secret(ctx, rng.new_key(1))
+    pk = ckks.keygen_public(ctx, rng.new_key(2), sk)
+    rk = ckks.keygen_relin(ctx, rng.new_key(3), sk)
+    half = ctx.n // 2
+    z = np.linspace(-1.0, 1.0, half)
+    ct1 = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(4))
+    ct2 = ckks.encrypt(ctx, pk, ckks.encode(ctx, z[::-1].copy()), rng.new_key(5))
+
+    @jax.jit
+    def mult_relin(c1, c2, k0, k1):
+        a = ckks.Ciphertext(c1, 2, 0, ctx.default_scale)
+        b = ckks.Ciphertext(c2, 2, 0, ctx.default_scale)
+        return ckks.relinearize(ctx, ckks.multiply(ctx, a, b),
+                                ckks.KSKey(k0, k1)).c
+
+    # warmup/compile
+    out = mult_relin(ct1.c, ct2.c, rk.k0, rk.k1)
+    out.block_until_ready()
+
+    iters = 3 if small else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = mult_relin(ct1.c, ct2.c, rk.k0, rk.k1)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    ops_s = 1.0 / dt
+
+    print(json.dumps({
+        "metric": f"ckks_n{n}_mult_relin_ops_per_s_per_chip",
+        "value": round(ops_s, 3),
+        "unit": "ops/s",
+        "vs_baseline": round(ops_s / BASELINE_OPS_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

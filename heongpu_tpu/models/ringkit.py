@@ -77,22 +77,35 @@ class GaloisKey:
         self.keys = keys
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["base_q", "base_qp", "ntt_qp", "div_p"],
+         meta_fields=["n", "q_primes", "p_primes"])
+@dataclasses.dataclass(frozen=True)
 class RingView:
-    """The ring attributes keygen/keyswitch need; both scheme contexts expose
-    a `.ring` property returning one of these (duck-typed, host-side)."""
+    """The ring tables keygen/keyswitch need (a pytree so keygen jits);
+    both scheme contexts build one from their fields."""
+    n: int
+    q_primes: tuple
+    p_primes: tuple
+    base_q: rns.Base
+    base_qp: rns.Base
+    ntt_qp: "object"
+    div_p: rns.DivRoundLastq
 
-    def __init__(self, n, q_primes, p_primes, base_q, base_qp, ntt_qp, div_p):
-        self.n = n
-        self.q_primes = tuple(q_primes)
-        self.p_primes = tuple(p_primes)
-        self.qp_primes = self.q_primes + self.p_primes
-        self.base_q = base_q
-        self.base_qp = base_qp
-        self.ntt_qp = ntt_qp
-        self.div_p = div_p
-        self.k = len(q_primes)
+    def __post_init__(self):
+        object.__setattr__(self, "q_primes", tuple(int(q) for q in self.q_primes))
+        object.__setattr__(self, "p_primes", tuple(int(q) for q in self.p_primes))
+
+    @property
+    def qp_primes(self):
+        return self.q_primes + self.p_primes
+
+    @property
+    def k(self):
+        return len(self.q_primes)
 
 
+@partial(jax.jit, static_argnames=("hamming_weight",))
 def keygen_secret(ring: RingView, key, hamming_weight: Optional[int] = None) -> SecretKey:
     hw = ring.n // 2 if hamming_weight is None else hamming_weight
     s = rng.ternary_hw(key, ring.n, hw)
@@ -102,6 +115,7 @@ def keygen_secret(ring: RingView, key, hamming_weight: Optional[int] = None) -> 
     return SecretKey(s, mm.to_mont(s_ntt, p, pinv, r2), hw)
 
 
+@jax.jit
 def keygen_public(ring: RingView, key, sk: SecretKey) -> PublicKey:
     ka, ke = jax.random.split(key)
     a = rng.uniform_rns(ka, ring.qp_primes, (ring.n,))  # NTT domain
@@ -112,6 +126,7 @@ def keygen_public(ring: RingView, key, sk: SecretKey) -> PublicKey:
     return PublicKey(mm.to_mont(pk0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
+@jax.jit
 def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont) -> KSKey:
     """Method-I key encrypting `target` (NTT+mont over QP) under s."""
     k, n = ring.k, ring.n
@@ -132,26 +147,33 @@ def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont) -> KSKey:
     return KSKey(mm.to_mont(k0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
+@jax.jit
 def keygen_relin(ring: RingView, key, sk: SecretKey) -> KSKey:
     p, pinv, *_ = ring.base_qp.bview()
     s2_mont = mm.mont_mul(sk.s_ntt_mont_qp, sk.s_ntt_mont_qp, p, pinv)
     return ks_keygen(ring, key, sk, s2_mont)
 
 
+@jax.jit
 def keygen_switch(ring: RingView, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
     return ks_keygen(ring, key, sk_new, sk_old.s_ntt_mont_qp)
+
+
+@jax.jit
+def _galois_keygen_core(ring: RingView, key, sk: SecretKey, src, neg):
+    s_g = polyops.apply_galois_coeff(
+        rng.signed_to_rns(sk.s_coeff, ring.qp_primes), src, neg,
+        ring.base_qp.p[:, None])
+    p, pinv, r2, *_ = ring.base_qp.bview()
+    sg_mont = mm.to_mont(nttm.ntt_fwd(s_g, ring.ntt_qp), p, pinv, r2)
+    return ks_keygen(ring, key, sk, sg_mont)
 
 
 def keygen_galois_one(ring: RingView, key, sk: SecretKey, g: int) -> GaloisKeyOne:
     n = ring.n
     src, neg = polyops.galois_perm_coeff(g, n)
     perm_ntt = polyops.galois_perm_ntt(g, n)
-    s_g = polyops.apply_galois_coeff(
-        rng.signed_to_rns(sk.s_coeff, ring.qp_primes), src, neg,
-        ring.base_qp.p[:, None])
-    p, pinv, r2, *_ = ring.base_qp.bview()
-    sg_mont = mm.to_mont(nttm.ntt_fwd(s_g, ring.ntt_qp), p, pinv, r2)
-    kk = ks_keygen(ring, key, sk, sg_mont)
+    kk = _galois_keygen_core(ring, key, sk, src, neg)
     return GaloisKeyOne(kk.k0, kk.k1, src, neg, perm_ntt, g)
 
 
