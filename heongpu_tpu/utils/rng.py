@@ -59,11 +59,16 @@ def uniform_rns(key, primes, shape) -> jnp.ndarray:
                        r1.reshape(bshape), r1s.reshape(bshape))
 
 
-def _lift_signed(e, primes_b):
-    """Map int32 (small, possibly negative) values into RNS residues."""
+def _lift_signed(e, primes_b, mu_b=None):
+    """Map int32 (possibly negative, any magnitude < 2^31) values into RNS
+    residues: |e| is Barrett-reduced mod p before the sign lift."""
     neg = e < 0
     mag = jnp.abs(e).astype(jnp.uint32)
-    return jnp.where(neg, primes_b - mag, mag).astype(jnp.uint32)
+    if mu_b is None:
+        mag = jnp.where(mag >= primes_b, mag - primes_b, mag)  # |e| < 2p fast path
+    else:
+        mag = mm.barrett32(mag, primes_b, mu_b)
+    return jnp.where(neg, mm.neg_mod(mag, primes_b), mag).astype(jnp.uint32)
 
 
 def gaussian_rns(key, primes, shape, sigma: float = ERROR_STD_DEV) -> jnp.ndarray:
@@ -98,7 +103,8 @@ def ternary_hw(key, n: int, hamming_weight: int) -> jnp.ndarray:
 
 
 def signed_to_rns(e, primes) -> jnp.ndarray:
-    """Lift an int32 array of small signed values to (L,)+shape residues."""
-    p = jnp.asarray(np.asarray(primes, dtype=np.uint32))
+    """Lift an int32 array of signed values (any int32 magnitude) to
+    (L,)+shape residues."""
+    p, mu, _, _ = _prime_consts(primes)
     bshape = (p.shape[0],) + (1,) * e.ndim
-    return _lift_signed(e[None], p.reshape(bshape))
+    return _lift_signed(e[None], p.reshape(bshape), mu.reshape(bshape))
