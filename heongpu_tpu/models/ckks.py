@@ -413,7 +413,7 @@ def _mul_core(ctx, a, b, level):
 
 
 def multiply(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    _check_compat(a, b)
+    assert a.level == b.level, "level mismatch (mod_drop first)"
     assert a.size == 2 and b.size == 2
     return Ciphertext(_mul_core(ctx, a.c, b.c, a.level), 3, a.level,
                       a.scale * b.scale)
