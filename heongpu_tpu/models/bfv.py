@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
-from ..ops import polyops, rns
+from ..ops import keyswitch2, polyops, rns
 from ..utils import nt, rng
 from ..utils.params import default_coeff_modulus, validate_security
 from . import ringkit
@@ -55,7 +55,7 @@ _prod = lambda xs: reduce(lambda a, b: a * b, xs, 1)
         "delta_mont", "q_mod_t", "half_t", "t_inv_2_32",
         "gt_qhatinv_mont", "gt_half_qhatinv", "dec_mat_mont", "dec_off",
         "gamma_inv_t", "gamma_inv_t_sh",
-        "div_p", "slot_index",
+        "div_p", "enc_div", "ks2", "slot_index",
         "ntt_qbsk", "conv_q_bsk", "conv_q_mt_mat", "neg_qinv_mt",
         "mt_inv_bsk", "mt_inv_bsk_sh", "q_mod_bsk", "q_mod_bsk_mont",
         "t_mont_qbsk", "conv_tq_bsk", "qinv_bsk", "qinv_bsk_sh",
@@ -63,7 +63,8 @@ _prod = lambda xs: reduce(lambda a, b: a * b, xs, 1)
         "b_mod_q", "b_mod_q_sh", "msk_half", "msk_half_mod_q",
     ],
     meta_fields=["n", "logn", "k", "t", "gamma", "mt_bits", "bsk_k",
-                 "q_primes", "p_primes", "bsk_primes", "sec_level"],
+                 "q_primes", "p_primes", "bsk_primes", "sec_level",
+                 "ks_type", "alpha"],
 )
 @dataclasses.dataclass(frozen=True)
 class BfvContext:
@@ -83,6 +84,8 @@ class BfvContext:
     p_primes: tuple
     bsk_primes: tuple          # B primes + [m_sk]
     sec_level: str
+    ks_type: str
+    alpha: int
     # --- NTT/base tables
     ntt_qp: nttm.NttTables     # over Q ∪ P
     ntt_t: nttm.NttTables      # over [t] (encoder)
@@ -102,6 +105,8 @@ class BfvContext:
     gamma_inv_t_sh: jnp.ndarray
     # --- keyswitch P-drop
     div_p: rns.DivRoundLastq
+    enc_div: tuple             # sequential ÷p stages over Q·P (encrypt path)
+    ks2: tuple                 # (KS2Level,) when ks_type == "II"
     # --- encoder slot map
     slot_index: jnp.ndarray        # (n,) int32 NTT-domain index per slot
     # --- BEHZ multiply tables
@@ -137,11 +142,16 @@ def make_context(n: int,
                  q_bits: Optional[Sequence[int]] = None,
                  q_primes: Optional[Sequence[int]] = None,
                  sec_level: str = "none",
+                 ks_type: str = "I",
+                 alpha: int = 1,
                  seed_tables: bool = True) -> BfvContext:
     """Build a BFV context.  `q_bits` like [29,29,29] (last entry NOT special);
-    one 30-bit special prime P is appended automatically."""
+    `alpha` 30-bit special primes are appended (Method II uses alpha > 1
+    grouped digits, reference keyswitching_type METHOD_II)."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
+    if ks_type == "I":
+        alpha = 1
 
     if q_primes is None:
         if q_bits is None:
@@ -155,7 +165,7 @@ def make_context(n: int,
                 q_primes.append(pr)
     q_primes = [int(q) for q in q_primes]
     used = set(q_primes)
-    p_primes = [nt.generate_ntt_primes(30, 1, n, exclude=used)[0]]
+    p_primes = nt.generate_ntt_primes(30, alpha, n, exclude=used)
     used |= set(p_primes)
     validate_security(n, q_primes + p_primes, sec_level)
 
@@ -226,10 +236,21 @@ def make_context(n: int,
     binv_msk_v = pow(B % m_sk, -1, m_sk)
     b_mod_q_v = [B % qj for qj in q_primes]
 
+    enc_div = []
+    remaining = list(q_primes) + list(p_primes)
+    for sp in reversed(p_primes):
+        remaining = remaining[:-1]
+        enc_div.append(rns.DivRoundLastq.build(remaining, sp))
+    ks2 = ()
+    if ks_type == "II":
+        ks2 = (keyswitch2.build_ks2_level(q_primes, p_primes, k, alpha),)
+
     return BfvContext(
         n=n, logn=logn, k=k, t=t, gamma=gamma, mt_bits=mt_bits, bsk_k=bsk_b,
         q_primes=tuple(q_primes), p_primes=tuple(p_primes),
         bsk_primes=tuple(bsk_all), sec_level=sec_level,
+        ks_type=ks_type, alpha=alpha,
+        enc_div=tuple(enc_div), ks2=ks2,
         ntt_qp=nttm.build_ntt_tables(qp, n),
         ntt_t=nttm.build_ntt_tables([t], n),
         base_q=rns.Base.build(q_primes),
@@ -317,17 +338,26 @@ def keygen_public(ctx: BfvContext, key, sk: SecretKey) -> PublicKey:
     return ringkit.keygen_public(_ring(ctx), key, sk)
 
 
+def _groups(ctx):
+    if ctx.ks_type == "II":
+        return tuple(tuple(range(j, min(j + ctx.alpha, ctx.k)))
+                     for j in range(0, ctx.k, ctx.alpha))
+    return None
+
+
 def keygen_relin(ctx: BfvContext, key, sk: SecretKey) -> KSKey:
-    return ringkit.keygen_relin(_ring(ctx), key, sk)
+    return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx))
 
 
 def keygen_galois(ctx: BfvContext, key, sk: SecretKey, steps=None,
                   max_shift: int = 8) -> GaloisKey:
-    return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift)
+    return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
+                                 groups=_groups(ctx))
 
 
 def keygen_switch(ctx: BfvContext, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
-    return ringkit.keygen_switch(_ring(ctx), key, sk_new=sk_new, sk_old=sk_old)
+    return ringkit.keygen_switch(_ring(ctx), key, sk_new=sk_new, sk_old=sk_old,
+                                 groups=_groups(ctx))
 
 
 # =========================================================================
@@ -362,8 +392,9 @@ def encrypt(ctx: BfvContext, pk: PublicKey, plain, key) -> Ciphertext:
     u = nttm.ntt_fwd(rng.ternary_rns(ku, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
     c0 = nttm.ntt_inv(mm.mont_mul(pk.pk0, u, p, pinv), ctx.ntt_qp)
     c1 = nttm.ntt_inv(mm.mont_mul(pk.pk1, u, p, pinv), ctx.ntt_qp)
-    c0 = ctx.div_p(c0)
-    c1 = ctx.div_p(c1)
+    for stage in ctx.enc_div:
+        c0 = stage(c0)
+        c1 = stage(c1)
     qb = ctx.base_q
     e0 = rng.gaussian_rns(k0, ctx.q_primes, (ctx.n,))
     e1 = rng.gaussian_rns(k1, ctx.q_primes, (ctx.n,))
@@ -596,11 +627,21 @@ def multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     return Ciphertext(out, None, 3, False)
 
 
+def _ks_dispatch(ctx: BfvContext, poly_q, k0, k1):
+    """Keyswitch one coeff-domain poly over Q (Method I or II)."""
+    if ctx.ks_type == "II":
+        return keyswitch2.keyswitch2(
+            poly_q, k0, k1, ctx.ks2[0], ctx.ntt_qp, ctx.base_qp,
+            in_ntt=False, out_ntt=False,
+            ntt_q_level=ctx.ntt_qp.slice_limbs(0, ctx.k))
+    return ringkit.keyswitch_core(poly_q, k0, k1, ctx.base_qp,
+                                  ctx.ntt_qp, ctx.div_p, False, False)
+
+
 @jax.jit
 def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
     assert ct.size == 3
-    d0, d1 = ringkit.keyswitch_core(ct.c[2], rk.k0, rk.k1, ctx.base_qp,
-                                    ctx.ntt_qp, ctx.div_p, False, False)
+    d0, d1 = _ks_dispatch(ctx, ct.c[2], rk.k0, rk.k1)
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p),
                                  mm.add_mod(ct.c[1], d1, p)]), None, 2, False)
@@ -612,8 +653,7 @@ def apply_galois(ctx: BfvContext, ct: Ciphertext, gk1: GaloisKeyOne) -> Cipherte
     p = ctx.base_q.p[:, None]
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(ct.c[1], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
-    d0, d1 = ringkit.keyswitch_core(g1, gk1.k0, gk1.k1, ctx.base_qp,
-                                    ctx.ntt_qp, ctx.div_p, False, False)
+    d0, d1 = _ks_dispatch(ctx, g1, gk1.k0, gk1.k1)
     return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), None, 2, False)
 
 
@@ -649,8 +689,7 @@ def rotate_columns(ctx: BfvContext, ct: Ciphertext, gk: GaloisKey) -> Ciphertext
 def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
     """Re-encrypt a size-2 ct from old key to new key (swk encrypts s_old)."""
     assert ct.size == 2
-    d0, d1 = ringkit.keyswitch_core(ct.c[1], swk.k0, swk.k1, ctx.base_qp,
-                                    ctx.ntt_qp, ctx.div_p, False, False)
+    d0, d1 = _ks_dispatch(ctx, ct.c[1], swk.k0, swk.k1)
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p), d1]), None, 2, False)
 

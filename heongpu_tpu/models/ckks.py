@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
-from ..ops import polyops, rns
+from ..ops import keyswitch2, polyops, rns
 from ..utils import nt, rng
 from ..utils.params import validate_security
 from . import ringkit
@@ -49,9 +49,9 @@ _prod = lambda xs: reduce(lambda a, b: a * b, xs, 1)
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ntt_qp", "base_q", "base_qp", "div_p", "div_level",
-                 "slot_to_ntt", "conj_perm"],
+                 "slot_to_ntt", "conj_perm", "enc_div", "ks2"],
     meta_fields=["n", "logn", "k", "q_primes", "p_primes", "default_scale",
-                 "sec_level"],
+                 "sec_level", "ks_type", "alpha"],
 )
 @dataclasses.dataclass(frozen=True)
 class CkksContext:
@@ -63,11 +63,15 @@ class CkksContext:
     p_primes: tuple
     default_scale: float
     sec_level: str
+    ks_type: str                # "I" (per-prime digits) | "II" (hybrid groups)
+    alpha: int                  # number of special primes
     ntt_qp: nttm.NttTables      # over Q ∪ P
     base_q: rns.Base
     base_qp: rns.Base
-    div_p: rns.DivRoundLastq    # ÷P at level 0 (per level: sliced on the fly)
+    div_p: rns.DivRoundLastq    # ÷(first special) at level 0 (Method I path)
     div_level: tuple            # div_level[lvl] = DivRoundLastq dropping q_{k-1-lvl}
+    enc_div: tuple              # sequential ÷p stages over Q·P (encrypt path)
+    ks2: tuple                  # per-level keyswitch2.KS2Level (Method II)
     slot_to_ntt: jnp.ndarray    # (n/2,) int32: NTT index of slot j
     conj_perm: jnp.ndarray      # (n,) NTT-domain permutation for conjugation
 
@@ -134,18 +138,24 @@ def _concat_tables(a: nttm.NttTables, b: nttm.NttTables) -> nttm.NttTables:
 def make_context(n: int,
                  q_bits: Sequence[int],
                  scale_bits: Optional[int] = None,
-                 sec_level: str = "none") -> CkksContext:
+                 sec_level: str = "none",
+                 ks_type: str = "I",
+                 alpha: int = 1) -> CkksContext:
     """q_bits: bit sizes of the Q chain, q_bits[0] = base prime; the scale
-    primes should sit near 2**scale_bits.  One 30-bit special prime added."""
+    primes should sit near 2**scale_bits.  `alpha` 30-bit special primes are
+    appended; ks_type "II" uses hybrid keyswitching with digits of `alpha`
+    grouped primes (reference keyswitching_type METHOD_II)."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
+    if ks_type == "I":
+        alpha = 1
     q_primes = []
     used = set()
     for b in q_bits:
         pr = nt.generate_ntt_primes(b, 1, n, exclude=used)[0]
         used.add(pr)
         q_primes.append(pr)
-    p_primes = [nt.generate_ntt_primes(30, 1, n, exclude=used)[0]]
+    p_primes = nt.generate_ntt_primes(30, alpha, n, exclude=used)
     validate_security(n, q_primes + p_primes, sec_level)
     if scale_bits is None:
         scale_bits = q_bits[1] if len(q_bits) > 1 else q_bits[0] - 1
@@ -166,15 +176,30 @@ def make_context(n: int,
         ka = k - lvl
         div_level.append(rns.DivRoundLastq.build(q_primes[:ka - 1], q_primes[ka - 1]))
 
+    # encrypt path: divide by every special prime sequentially
+    enc_div = []
+    remaining = list(q_primes) + list(p_primes)
+    for sp in reversed(p_primes):
+        remaining = remaining[:-1]
+        enc_div.append(rns.DivRoundLastq.build(remaining, sp))
+
+    ks2 = ()
+    if ks_type == "II":
+        ks2 = tuple(keyswitch2.build_ks2_level(q_primes, p_primes, k - lvl, alpha)
+                    for lvl in range(k))
+
     return CkksContext(
         n=n, logn=logn, k=k,
         q_primes=tuple(q_primes), p_primes=tuple(p_primes),
         default_scale=float(2.0 ** scale_bits), sec_level=sec_level,
+        ks_type=ks_type, alpha=alpha,
         ntt_qp=nttm.build_ntt_tables(q_primes + p_primes, n),
         base_q=rns.Base.build(q_primes),
         base_qp=rns.Base.build(q_primes + p_primes),
         div_p=rns.DivRoundLastq.build(q_primes, p_primes[0]),
         div_level=tuple(div_level),
+        enc_div=tuple(enc_div),
+        ks2=ks2,
         slot_to_ntt=jnp.asarray(slot_to_ntt),
         conj_perm=conj_perm,
     )
@@ -193,16 +218,25 @@ def keygen_public(ctx, key, sk):
     return ringkit.keygen_public(_ring(ctx), key, sk)
 
 
+def _groups(ctx):
+    if ctx.ks_type == "II":
+        return tuple(tuple(range(j, min(j + ctx.alpha, ctx.k)))
+                     for j in range(0, ctx.k, ctx.alpha))
+    return None
+
+
 def keygen_relin(ctx, key, sk):
-    return ringkit.keygen_relin(_ring(ctx), key, sk)
+    return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx))
 
 
 def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8):
-    return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift)
+    return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
+                                 groups=_groups(ctx))
 
 
 def keygen_switch(ctx, key, sk_old, sk_new):
-    return ringkit.keygen_switch(_ring(ctx), key, sk_old, sk_new)
+    return ringkit.keygen_switch(_ring(ctx), key, sk_old, sk_new,
+                                 groups=_groups(ctx))
 
 
 # =========================================================================
@@ -305,8 +339,9 @@ def _encrypt_zero_ntt(ctx: CkksContext, pk: PublicKey, key):
     u = nttm.ntt_fwd(rng.ternary_rns(ku, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
     c0 = nttm.ntt_inv(mm.mont_mul(pk.pk0, u, p, pinv), ctx.ntt_qp)
     c1 = nttm.ntt_inv(mm.mont_mul(pk.pk1, u, p, pinv), ctx.ntt_qp)
-    c0 = ctx.div_p(c0)
-    c1 = ctx.div_p(c1)
+    for stage in ctx.enc_div:
+        c0 = stage(c0)
+        c1 = stage(c1)
     qb = ctx.base_q
     e0 = rng.gaussian_rns(k0, ctx.q_primes, (ctx.n,))
     e1 = rng.gaussian_rns(k1, ctx.q_primes, (ctx.n,))
@@ -478,13 +513,28 @@ def mod_drop_plain(ctx, pt: Plaintext, levels: int = 1) -> Plaintext:
 
 @partial(jax.jit, static_argnames=("level",))
 def _keyswitch_poly(ctx, poly_ntt, k0, k1, level):
-    """Keyswitch one NTT-domain poly at `level`; returns (d0,d1) NTT-domain."""
+    """Keyswitch one NTT-domain poly at `level`; returns (d0,d1) NTT-domain.
+    Dispatches on the context's keyswitching method (reference METHOD_I/II)."""
     ka = ctx.active(level)
+    if ctx.ks_type == "II":
+        d_lvl = -(-ka // ctx.alpha)
+        idx_dig = slice(0, d_lvl)
+        k0s = _slice_key2(ctx, k0, ka, d_lvl)
+        k1s = _slice_key2(ctx, k1, ka, d_lvl)
+        return keyswitch2.keyswitch2(
+            poly_ntt, k0s, k1s, ctx.ks2[level], ctx.ntt_qp_at(level),
+            ctx.base_qp_at(level), in_ntt=True, out_ntt=True,
+            ntt_q_level=ctx.ntt_q(level))
     k0s = ringkit.slice_key_level(k0, ka, ctx.k)
     k1s = ringkit.slice_key_level(k1, ka, ctx.k)
     return ringkit.keyswitch_core(
         poly_ntt, k0s, k1s, ctx.base_qp_at(level), ctx.ntt_qp_at(level),
         ctx.div_p_at(level), in_ntt=True, out_ntt=True, ntt_q=ctx.ntt_q(level))
+
+
+def _slice_key2(ctx, k_arr, ka: int, d_lvl: int):
+    """Method-II key slice: first d_lvl digits, active Q limbs + all specials."""
+    return jnp.concatenate([k_arr[:d_lvl, :ka], k_arr[:d_lvl, ctx.k:]], axis=1)
 
 
 def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:

@@ -126,59 +126,71 @@ def keygen_public(ring: RingView, key, sk: SecretKey) -> PublicKey:
     return PublicKey(mm.to_mont(pk0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
-@jax.jit
-def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont) -> KSKey:
-    """Method-I key encrypting `target` (NTT+mont over QP) under s."""
+@partial(jax.jit, static_argnames=("groups",))
+def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont,
+              groups=None) -> KSKey:
+    """Keyswitch key encrypting `target` (NTT+mont over QP) under s.
+
+    groups=None: Method I (one digit per Q prime).  groups=((0,1),(2,3),...):
+    Method II grouped gadget — digit j carries P·target on every limb of
+    group j (reference relinkey_gen_II_kernel)."""
     k, n = ring.k, ring.n
+    if groups is None:
+        groups = tuple((i,) for i in range(k))
+    d = len(groups)
     P = _prod(ring.p_primes)
     p, pinv, r2, *_ = ring.base_qp.bview()
     ka, ke = jax.random.split(key)
-    a = jnp.moveaxis(rng.uniform_rns(ka, ring.qp_primes, (k, n)), 0, 1)
-    e = nttm.ntt_fwd(jnp.moveaxis(rng.gaussian_rns(ke, ring.qp_primes, (k, n)), 0, 1),
+    a = jnp.moveaxis(rng.uniform_rns(ka, ring.qp_primes, (d, n)), 0, 1)
+    e = nttm.ntt_fwd(jnp.moveaxis(rng.gaussian_rns(ke, ring.qp_primes, (d, n)), 0, 1),
                      ring.ntt_qp)
     a_s = mm.mont_mul(a, sk.s_ntt_mont_qp[None], p, pinv)
     k0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
-    sel = np.zeros((k, len(ring.qp_primes)), np.uint32)
-    for i, qi in enumerate(ring.q_primes):
-        sel[i, i] = P % qi
+    sel = np.zeros((d, len(ring.qp_primes)), np.uint32)
+    for j, g in enumerate(groups):
+        for i in g:
+            sel[j, i] = P % ring.q_primes[i]
     pt = mm.mont_mul(target_ntt_mont[None], jnp.asarray(sel)[:, :, None],
                      p[None], pinv[None])
     k0 = mm.add_mod(k0, pt, p)
     return KSKey(mm.to_mont(k0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
-@jax.jit
-def keygen_relin(ring: RingView, key, sk: SecretKey) -> KSKey:
+@partial(jax.jit, static_argnames=("groups",))
+def keygen_relin(ring: RingView, key, sk: SecretKey, groups=None) -> KSKey:
     p, pinv, *_ = ring.base_qp.bview()
     s2_mont = mm.mont_mul(sk.s_ntt_mont_qp, sk.s_ntt_mont_qp, p, pinv)
-    return ks_keygen(ring, key, sk, s2_mont)
+    return ks_keygen(ring, key, sk, s2_mont, groups=groups)
 
 
-@jax.jit
-def keygen_switch(ring: RingView, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
-    return ks_keygen(ring, key, sk_new, sk_old.s_ntt_mont_qp)
+@partial(jax.jit, static_argnames=("groups",))
+def keygen_switch(ring: RingView, key, sk_old: SecretKey, sk_new: SecretKey,
+                  groups=None) -> KSKey:
+    return ks_keygen(ring, key, sk_new, sk_old.s_ntt_mont_qp, groups=groups)
 
 
-@jax.jit
-def _galois_keygen_core(ring: RingView, key, sk: SecretKey, src, neg):
+@partial(jax.jit, static_argnames=("groups",))
+def _galois_keygen_core(ring: RingView, key, sk: SecretKey, src, neg, groups=None):
     s_g = polyops.apply_galois_coeff(
         rng.signed_to_rns(sk.s_coeff, ring.qp_primes), src, neg,
         ring.base_qp.p[:, None])
     p, pinv, r2, *_ = ring.base_qp.bview()
     sg_mont = mm.to_mont(nttm.ntt_fwd(s_g, ring.ntt_qp), p, pinv, r2)
-    return ks_keygen(ring, key, sk, sg_mont)
+    return ks_keygen(ring, key, sk, sg_mont, groups=groups)
 
 
-def keygen_galois_one(ring: RingView, key, sk: SecretKey, g: int) -> GaloisKeyOne:
+def keygen_galois_one(ring: RingView, key, sk: SecretKey, g: int,
+                      groups=None) -> GaloisKeyOne:
     n = ring.n
     src, neg = polyops.galois_perm_coeff(g, n)
     perm_ntt = polyops.galois_perm_ntt(g, n)
-    kk = _galois_keygen_core(ring, key, sk, src, neg)
+    kk = _galois_keygen_core(ring, key, sk, src, neg, groups=groups)
     return GaloisKeyOne(kk.k0, kk.k1, src, neg, perm_ntt, g)
 
 
 def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
-                  max_shift: int = 8, include_conj: bool = True) -> GaloisKey:
+                  max_shift: int = 8, include_conj: bool = True,
+                  groups=None) -> GaloisKey:
     n = ring.n
     if steps is None:
         steps = []
@@ -189,9 +201,10 @@ def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
     for sk_i, step in zip(subkeys[:-1], steps):
         g = polyops.steps_to_galois_elt(step, n)
         if g not in keys:
-            keys[g] = keygen_galois_one(ring, sk_i, sk, g)
+            keys[g] = keygen_galois_one(ring, sk_i, sk, g, groups=groups)
     if include_conj:
-        keys["conj"] = keygen_galois_one(ring, subkeys[-1], sk, 2 * n - 1)
+        keys["conj"] = keygen_galois_one(ring, subkeys[-1], sk, 2 * n - 1,
+                                         groups=groups)
     return GaloisKey(keys)
 
 

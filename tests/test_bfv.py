@@ -110,3 +110,28 @@ def test_switch_key():
     ct2 = bfv.switch_key(CTX, ct, swk)
     got = bfv.decode(CTX, bfv.decrypt(CTX, sk2, ct2))
     np.testing.assert_array_equal(got, m.astype(np.uint32))
+
+
+def test_method2_keyswitch():
+    """Hybrid Method-II relinearization and rotation (reference METHOD_II)."""
+    from heongpu_tpu.utils import params as prm
+    t2 = prm.plain_modulus_for(1024, 20)
+    ctx2 = bfv.make_context(1024, t2, q_bits=[29, 29, 29, 29], sec_level="none",
+                            ks_type="II", alpha=2)
+    sk = bfv.keygen_secret(ctx2, rng.new_key(80))
+    pk = bfv.keygen_public(ctx2, rng.new_key(81), sk)
+    rk = bfv.keygen_relin(ctx2, rng.new_key(82), sk)
+    gk = bfv.keygen_galois(ctx2, rng.new_key(83), sk, steps=[1])
+    m1 = RNG.integers(0, ctx2.t, size=ctx2.n, dtype=np.int64)
+    m2 = RNG.integers(0, ctx2.t, size=ctx2.n, dtype=np.int64)
+    ct1 = bfv.encrypt(ctx2, pk, bfv.encode(ctx2, m1), rng.new_key(84))
+    ct2 = bfv.encrypt(ctx2, pk, bfv.encode(ctx2, m2), rng.new_key(85))
+    ct3 = bfv.relinearize(ctx2, bfv.multiply(ctx2, ct1, ct2), rk)
+    got = bfv.decode(ctx2, bfv.decrypt(ctx2, sk, ct3))
+    np.testing.assert_array_equal(got, (m1 * m2 % ctx2.t).astype(np.uint32))
+    rot = bfv.rotate_rows(ctx2, ct3, gk, 1)
+    got = bfv.decode(ctx2, bfv.decrypt(ctx2, sk, rot))
+    half = ctx2.n // 2
+    rows = (m1 * m2 % ctx2.t).reshape(2, half)
+    want = np.concatenate([np.roll(rows[0], -1), np.roll(rows[1], -1)])
+    np.testing.assert_array_equal(got, want.astype(np.uint32))

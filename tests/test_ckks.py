@@ -113,3 +113,28 @@ def test_mod_drop():
     assert ct.level == 1
     got = ckks.decode(CTX, ckks.decrypt(CTX, SK, ct))
     np.testing.assert_allclose(got, z, atol=1e-3)
+
+
+def test_method2_keyswitch():
+    """Hybrid (Method II) keyswitching: relin + rotation at several levels."""
+    ctx2 = ckks.make_context(1024, [29, 25, 25, 25, 25], scale_bits=25,
+                             sec_level="none", ks_type="II", alpha=2)
+    sk = ckks.keygen_secret(ctx2, rng.new_key(70))
+    pk = ckks.keygen_public(ctx2, rng.new_key(71), sk)
+    rk = ckks.keygen_relin(ctx2, rng.new_key(72), sk)
+    gk = ckks.keygen_galois(ctx2, rng.new_key(73), sk, steps=[1])
+    z1, z2 = _msg(), _msg()
+    ct1 = ckks.encrypt(ctx2, pk, ckks.encode(ctx2, z1), rng.new_key(74))
+    ct2 = ckks.encrypt(ctx2, pk, ckks.encode(ctx2, z2), rng.new_key(75))
+    ct3 = ckks.rescale(ctx2, ckks.relinearize(ctx2, ckks.multiply(ctx2, ct1, ct2), rk))
+    got = ckks.decode(ctx2, ckks.decrypt(ctx2, sk, ct3))
+    np.testing.assert_allclose(got, z1 * z2, atol=5e-3)
+    # rotation at level 1 (odd active count exercises partial groups)
+    rot = ckks.rotate(ctx2, ct3, gk, 1)
+    got = ckks.decode(ctx2, ckks.decrypt(ctx2, sk, rot))
+    np.testing.assert_allclose(got, np.roll(z1 * z2, -1), atol=5e-3)
+    # deeper: multiply again, then rotate at level 2
+    ct4 = ckks.rescale(ctx2, ckks.relinearize(
+        ctx2, ckks.multiply(ctx2, ct3, ckks.mod_drop(ctx2, ct1, 1)), rk))
+    got = ckks.decode(ctx2, ckks.decrypt(ctx2, sk, ckks.rotate(ctx2, ct4, gk, 1)))
+    np.testing.assert_allclose(got, np.roll(z1 * z1 * z2, -1), atol=5e-2)
