@@ -215,14 +215,16 @@ def make_context(n: int,
     dec_off = [half_q % s * pow(Q % s, -1, s) % s for s in (t, gamma)]
     g_inv_t = pow(gamma % t, -1, t)
 
-    # slot index map (5^j orbit; see SURVEY §2.3 HEEncoder<BFV>)
+    # slot index map (5^j orbit composed with the NTT storage order;
+    # see SURVEY §2.3 HEEncoder<BFV>)
     m2 = 2 * n
-    slot_index = np.empty(n, np.int32)
+    slot_eval = np.empty(n, np.int64)
     g5 = 1
     for j in range(n // 2):
-        slot_index[j] = (g5 - 1) // 2
-        slot_index[j + n // 2] = (m2 - g5 - 1) // 2
+        slot_eval[j] = (g5 - 1) // 2
+        slot_eval[j + n // 2] = (m2 - g5 - 1) // 2
         g5 = g5 * 5 % m2
+    slot_index = nttm.inv_eval_order(n)[slot_eval].astype(np.int32)
     assert len(set(slot_index.tolist())) == n
 
     # BEHZ tables

@@ -121,17 +121,27 @@ class CkksContext:
 
 def _concat_tables(a: nttm.NttTables, b: nttm.NttTables) -> nttm.NttTables:
     cat = lambda x, y: jnp.concatenate([x, y], axis=0)
+    mxu = None
+    if a.mxu is not None and b.mxu is not None:
+        from ..ops.ntt_mxu import MxuTables
+        mxu = MxuTables.concat(a.mxu, b.mxu)
     return nttm.NttTables(
-        n=a.n, logn=a.logn,
+        n=a.n, logn=a.logn, n1=a.n1, n2=a.n2, mxu=mxu,
         p=cat(a.p, b.p), pinv=cat(a.pinv, b.pinv), r2=cat(a.r2, b.r2),
         mu=cat(a.mu, b.mu), r1=cat(a.r1, b.r1), r1_sh=cat(a.r1_sh, b.r1_sh),
         psi=cat(a.psi, b.psi), psi_sh=cat(a.psi_sh, b.psi_sh),
         ipsi_n=cat(a.ipsi_n, b.ipsi_n), ipsi_n_sh=cat(a.ipsi_n_sh, b.ipsi_n_sh),
-        brev=a.brev,
-        tw=tuple(cat(x, y) for x, y in zip(a.tw, b.tw)),
-        tw_sh=tuple(cat(x, y) for x, y in zip(a.tw_sh, b.tw_sh)),
-        itw=tuple(cat(x, y) for x, y in zip(a.itw, b.itw)),
-        itw_sh=tuple(cat(x, y) for x, y in zip(a.itw_sh, b.itw_sh)),
+        tw_mat=cat(a.tw_mat, b.tw_mat), tw_mat_sh=cat(a.tw_mat_sh, b.tw_mat_sh),
+        itw_mat=cat(a.itw_mat, b.itw_mat),
+        itw_mat_sh=cat(a.itw_mat_sh, b.itw_mat_sh),
+        tw1=tuple(cat(x, y) for x, y in zip(a.tw1, b.tw1)),
+        tw1_sh=tuple(cat(x, y) for x, y in zip(a.tw1_sh, b.tw1_sh)),
+        itw1=tuple(cat(x, y) for x, y in zip(a.itw1, b.itw1)),
+        itw1_sh=tuple(cat(x, y) for x, y in zip(a.itw1_sh, b.itw1_sh)),
+        tw2=tuple(cat(x, y) for x, y in zip(a.tw2, b.tw2)),
+        tw2_sh=tuple(cat(x, y) for x, y in zip(a.tw2_sh, b.tw2_sh)),
+        itw2=tuple(cat(x, y) for x, y in zip(a.itw2, b.itw2)),
+        itw2_sh=tuple(cat(x, y) for x, y in zip(a.itw2_sh, b.itw2_sh)),
     )
 
 
@@ -161,13 +171,11 @@ def make_context(n: int,
         scale_bits = q_bits[1] if len(q_bits) > 1 else q_bits[0] - 1
     k = len(q_primes)
 
-    # slot -> NTT index via the 5^j orbit; conjugate slot = point -5^j
+    # slot -> NTT storage position via the 5^j orbit (composed with the NTT
+    # storage order); conjugate slot = point -5^j
     m2 = 2 * n
-    slot_to_ntt = np.empty(n // 2, np.int32)
-    g5 = 1
-    for j in range(n // 2):
-        slot_to_ntt[j] = (g5 - 1) // 2
-        g5 = g5 * 5 % m2
+    ieo = nttm.inv_eval_order(n)
+    slot_to_ntt = ieo[_slot_eval_nat(n)].astype(np.int32)
 
     conj_perm = polyops.galois_perm_ntt(m2 - 1, n)
 
@@ -268,14 +276,30 @@ class Plaintext:
 # Encoder (canonical embedding special FFT — host float64 path)
 # =========================================================================
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _slot_eval_nat(n: int) -> np.ndarray:
+    """Natural evaluation index of slot j (the 5^j orbit): point psi^(2e+1)
+    with 2e+1 = 5^j mod 2n (host-side canonical-embedding indexing)."""
+    m2 = 2 * n
+    out = np.empty(n // 2, np.int64)
+    g5 = 1
+    for j in range(n // 2):
+        out[j] = (g5 - 1) // 2
+        g5 = g5 * 5 % m2
+    return out
+
+
 def _embed_coeffs_from_slots(ctx: CkksContext, z: np.ndarray) -> np.ndarray:
     """slots (n/2 complex) -> real coefficient vector (float, unscaled)."""
     n = ctx.n
-    half = n // 2
+    m2 = 2 * n
     spec = np.zeros(n, np.complex128)
-    idx = np.asarray(ctx.slot_to_ntt)
+    idx = _slot_eval_nat(n)                         # natural eval index
     spec[idx] = z
-    conj_idx = np.asarray(ctx.conj_perm)[idx]  # index of the conjugate point
+    conj_idx = (m2 - (2 * idx + 1) - 1) // 2        # point psi^{-(2e+1)}
     spec[conj_idx] = np.conj(z)
     # A_j = a(w_{2n}^{2j+1});  A = n * ifft(a_i * w_{2n}^i)  =>  invert:
     u = np.fft.fft(spec) / n
@@ -288,7 +312,7 @@ def _slots_from_embed_coeffs(ctx: CkksContext, a: np.ndarray) -> np.ndarray:
     n = ctx.n
     tw = np.exp(1j * np.pi * np.arange(n) / n)
     spec = np.fft.ifft(a * tw) * n
-    return spec[np.asarray(ctx.slot_to_ntt)]
+    return spec[_slot_eval_nat(n)]
 
 
 def encode(ctx: CkksContext, values, scale: Optional[float] = None,
@@ -588,3 +612,93 @@ def switch_key(ctx, a: Ciphertext, swk: KSKey) -> Ciphertext:
     d0, d1 = _keyswitch_poly(ctx, a.c[1], swk.k0, swk.k1, a.level)
     p = _p_at(ctx, a.level)
     return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p), d1]), 2, a.level, a.scale)
+
+
+# =========================================================================
+# Hoisted rotations (reference fast_single_hoisting_rotation_ckks_method_I,
+# src/lib/host/ckks/operator.cu:4674: decompose once, rotate many)
+# =========================================================================
+
+def hoist(ctx, a: Ciphertext):
+    """Phase-1 digits of a.c[1] over Q̃, shared by many rotations."""
+    assert a.size == 2
+    assert ctx.ks_type == "I", "hoisting implemented for Method-I contexts"
+    lvl = a.level
+    return ringkit.hoist_digits(a.c[1], ctx.base_qp_at(lvl), ctx.ntt_qp_at(lvl),
+                                in_ntt=True, ntt_q=ctx.ntt_q(lvl))
+
+
+def rotate_hoisted(ctx, a: Ciphertext, d_ntt, gk1: GaloisKeyOne) -> Ciphertext:
+    """Apply sigma_g to `a` reusing precomputed digits: the Galois gather acts
+    directly on the NTT-domain digits (digit decomposition commutes with the
+    automorphism up to per-limb negation, which the gather's sign structure
+    absorbs because NTT-domain permutation == coefficient permute+negate)."""
+    lvl = a.level
+    ka = ctx.active(lvl)
+    dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
+    k0s = ringkit.slice_key_level(gk1.k0, ka, ctx.k)
+    k1s = ringkit.slice_key_level(gk1.k1, ka, ctx.k)
+    acc0, acc1 = ringkit.hoisted_mac(dp, k0s, k1s, ctx.base_qp_at(lvl))
+    out = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp_at(lvl),
+                            ctx.div_p_at(lvl), True, ctx.ntt_q(lvl))
+    g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
+    p = _p_at(ctx, lvl)
+    return Ciphertext(jnp.stack([mm.add_mod(g0, out[0], p), out[1]]),
+                      2, lvl, a.scale)
+
+
+def rotate_hoisted_raw(ctx, a: Ciphertext, d_ntt, gk1: GaloisKeyOne):
+    """Like rotate_hoisted but returns the P-scaled pair over Q̃ (NTT domain)
+    *before* the ÷P step, plus sigma_g(c0): lets callers accumulate many
+    rotated terms in the extended basis and divide once (the reference's
+    double-hoisting: broadcast_scale_P_kernel + addition_pql_kernel)."""
+    lvl = a.level
+    dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
+    ka = ctx.active(lvl)
+    k0s = ringkit.slice_key_level(gk1.k0, ka, ctx.k)
+    k1s = ringkit.slice_key_level(gk1.k1, ka, ctx.k)
+    acc0, acc1 = ringkit.hoisted_mac(dp, k0s, k1s, ctx.base_qp_at(lvl))
+    g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
+    return acc0, acc1, g0
+
+
+def monomial_mult_tables(ctx, k_exp: int):
+    """NTT-domain pointwise tables for multiplication by X^k over all QP
+    limbs: tab[l, j] = psi_l^((2j+1)k mod 2n).  X^(n/2) multiplies every slot
+    by i, X^(-n/2 mod 2n) by -i — the TPU analog of the reference's
+    cipher_mult_by_i / cipher_div_by_i kernels (kernel/multiplication.cuh)."""
+    n = ctx.n
+    psi_host = np.asarray(ctx.ntt_qp.psi).astype(np.uint64)   # (k+p, n)
+    primes = np.asarray([int(q) for q in ctx.qp_primes], np.uint64)
+    eo = nttm.eval_order(n).astype(np.int64)  # position p holds eval eo[p]
+    e = ((2 * eo + 1) * (k_exp % (2 * n))) % (2 * n)
+    wrap = e >= n
+    idx = np.where(wrap, e - n, e)
+    vals = psi_host[:, idx]                                    # (L, n)
+    vals = np.where(wrap[None, :], primes[:, None] - vals, vals)
+    sh = (vals << np.uint64(32)) // primes[:, None]
+    return jnp.asarray(vals.astype(np.uint32)), jnp.asarray(sh.astype(np.uint32))
+
+
+def multiply_by_monomial(ctx, a: Ciphertext, tables) -> Ciphertext:
+    """Multiply by X^k using tables from monomial_mult_tables (scale-free)."""
+    tab, tab_sh = tables
+    ka = ctx.active(a.level)
+    p = _p_at(ctx, a.level)
+    out = mm.shoup_mul(a.c, tab[:ka], tab_sh[:ka], p)
+    return Ciphertext(out, a.size, a.level, a.scale)
+
+
+def p_scale_to_qtilde(ctx, poly_q, level: int):
+    """Embed P·x into the Q̃ basis from x over Q: per-limb scalar multiply by
+    (P mod q_i) on Q limbs, zeros on special limbs (broadcast_scale_P_kernel)."""
+    ka = ctx.active(level)
+    P = _prod(int(p) for p in ctx.p_primes)
+    qs = ctx.q_primes[:ka]
+    fac = np.array([P % int(q) for q in qs], np.uint32)
+    fac_sh = np.array([mm.shoup(int(f), int(q)) for f, q in zip(fac, qs)], np.uint32)
+    scaled = mm.shoup_mul(poly_q, jnp.asarray(fac)[:, None],
+                          jnp.asarray(fac_sh)[:, None],
+                          ctx.base_q_at(level).p[:, None])
+    zeros = jnp.zeros(poly_q.shape[:-2] + (len(ctx.p_primes), ctx.n), jnp.uint32)
+    return jnp.concatenate([scaled, zeros], axis=-2)

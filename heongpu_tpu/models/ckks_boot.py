@@ -1,32 +1,43 @@
-"""CKKS bootstrapping: mod-raise, CoeffToSlot/SlotToCoeff homomorphic DFT,
-EvalMod via scaled-exponential Taylor + repeated squaring; regular and slim
-entry points.
+"""CKKS bootstrapping: mod-raise, factored CoeffToSlot/SlotToCoeff homomorphic
+DFT with double-hoisted BSGS matrix-vector products, EvalMod via
+scaled-exponential Taylor + repeated squaring; regular entry point (slim /
+bit / gate variants build on these blocks in ckks_boot_ext.py).
 
 Capability match for the reference's CKKS bootstrapping stack
-(src/lib/host/ckks/operator.cu:3499-7127: mod_raise_kernel, coeff_to_slot /
-slot_to_coeff, exp_scaled / exp_taylor_approximation EvalMod,
-regular_bootstrapping / slim_bootstrapping — SURVEY §2.4/§3.4), redesigned
-for TPU:
+(src/lib/host/ckks/operator.cu:3499-7127: mod_raise_kernel, Vandermonde
+E-diagonal matrix pieces, multiply_matrix double-hoisting BSGS,
+coeff_to_slot / slot_to_coeff, exp_scaled EvalMod, regular_bootstrapping —
+SURVEY §2.4/§3.4), redesigned for TPU:
 
-  * CtoS/StoC are dense-diagonal BSGS matrix-vector products over the slot
-    algebra, one level deep each.  The conjugate-symmetry trick halves the
-    work: t = w + conj(w) with w = (1/n)·U^† z (so only one matvec per
-    coefficient half).  The EvalMod entry constant 2πΔ/(2^r q0) is folded
-    into the CtoS diagonals and the exit constant -i/2 · q0/(2πΔ) into the
-    StoC diagonals — both matvecs do double duty, saving two levels.
-  * EvalMod: u = exp(iθ) by degree-d Taylor evaluated with Horner (d levels,
-    trivially correct scale bookkeeping), then r squarings,
-    sin θ' = (u - conj(u)) · (-i/2) — the reference's "regular" variant.
-  * Like the reference's bootstrapping examples, a sparse secret key
-    (small hamming weight) keeps the mod-raise overflow K = ||I||∞ small so
-    a moderate (d, r) suffices.
+  * The homomorphic DFT is factored exactly like the reference's
+    `EncodingMatrixConfig` pieces: the special FFT on the 5^j slot orbit is a
+    product of log2(n/2) sparse butterfly stages (3 generalized diagonals
+    each); consecutive stages are merged numerically (diagonal-dict
+    composition) into `pieces` dense-enough factors of ~2^(stages/pieces)
+    diagonals.  Bit-reversal is skipped on both sides — it cancels between
+    CtoS and StoC because EvalMod is slot-wise (same trick as the reference's
+    E_diagonal matrices).
+  * Each piece is evaluated as a BSGS matvec with double hoisting: the RNS
+    digit decomposition of the input is computed once (ops shared across all
+    baby rotations), baby-rotated terms are accumulated P-scaled in the
+    extended basis Q̃ (reference broadcast_scale_P_kernel +
+    addition_pql_kernel), and the exact ÷P runs once per giant step.
+  * Diagonal plaintexts are precomputed at key-generation time into
+    NTT-domain Montgomery device arrays over Q̃ at the level where the piece
+    runs (reference Vandermonde builder, operator.cu:5594-6580).
+  * The conjugate-symmetry packing m_i = a_i + i·a_{i+n/2} halves both
+    matvec dimensions; multiplication by ±i is a free NTT-domain pointwise
+    multiply by X^(±n/2) (reference cipher_mult_by_i / div_by_i).
+  * EvalMod entry constant 2πΔ/(2^r q0) folds into the CtoS piece diagonals
+    and the exit constant -i/2 · q0/(2πΔ) into the StoC diagonals.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List
+from functools import reduce
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -34,17 +45,30 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
-from ..ops import polyops
+from ..ops import polyops, rns
 from . import ckks, ringkit
 from .ckks import CkksContext, Ciphertext
 
 
 @dataclasses.dataclass
 class BootConfig:
-    """Mirrors the reference BootstrappingConfig (util/util.cuh:176-202)."""
+    """Mirrors the reference BootstrappingConfig{CtoS_piece, StoC_piece,
+    taylor_number, less_key_mode} (util/util.cuh:176-202)."""
     taylor_degree: int = 7
-    exp_squarings: int = 5      # r: exp(θ/2^r) Taylor, then square r times
-    bsgs_ratio: float = 1.0
+    exp_squarings: int = 5      # r: exp(theta/2^r) Taylor, then square r times
+    ctos_pieces: int = 2        # reference CtoS_piece (2..5)
+    stoc_pieces: int = 2        # reference StoC_piece (2..5)
+
+
+@dataclasses.dataclass(frozen=True)
+class Piece:
+    """One factored-DFT matvec: precomputed BSGS plaintext diagonals over Q̃
+    at a fixed level.  giants: tuple of (giant_step g, babies tuple,
+    pts (nb, ka+alpha, n) uint32 Montgomery NTT-domain)."""
+    level: int
+    n1: int
+    giants: Tuple[Tuple[int, Tuple[int, ...], jnp.ndarray], ...]
+    pt_scale: float
 
 
 @dataclasses.dataclass
@@ -52,68 +76,197 @@ class BootKeys:
     gk: ringkit.GaloisKey
     rk: ringkit.KSKey
     cfg: BootConfig
-    n1: int
     msg_scale: float
-    ctos_diags: List[Dict[int, np.ndarray]]
-    stoc_diags: List[Dict[int, np.ndarray]]
+    ctos_pieces: List[Piece]
+    stoc_pieces: List[Piece]
+    mult_i: tuple               # X^(n/2) tables (slot-wise * i)
+    mult_neg_i: tuple           # X^(-n/2) tables (slot-wise * -i)
+
+    @property
+    def out_level(self) -> int:
+        return (len(self.ctos_pieces) + self.cfg.taylor_degree +
+                self.cfg.exp_squarings + len(self.stoc_pieces))
 
 
-def _embedding_matrix(ctx: CkksContext) -> np.ndarray:
-    """U (n/2 x n) decode matrix: U[j, i] = zeta_j^i, zeta_j = psi^(5^j)."""
-    n = ctx.n
-    idx = np.asarray(ctx.slot_to_ntt)
-    ang = (2 * idx + 1).astype(np.float64) * (np.pi / n)
-    zeta = np.exp(1j * ang)
-    return zeta[:, None] ** np.arange(n)[None, :]
+# =========================================================================
+# Special-FFT stage factorization (numpy, host side)
+# =========================================================================
+
+def sf_stage_diags(n: int, length: int, inverse: bool) -> Dict[int, np.ndarray]:
+    """Diagonal dict {offset: (n/2,) complex} of one special-FFT butterfly
+    stage on the 5^j slot orbit (the reference's E_diagonal factor matrices,
+    kernel/bootstrapping.cu E_diagonal_generate_kernel)."""
+    half = n // 2
+    M = 2 * n
+    lenh = length // 2
+    lenq = length * 4
+    d: Dict[int, np.ndarray] = {}
+
+    def add(off, pos, val):
+        off %= half
+        if off not in d:
+            d[off] = np.zeros(half, np.complex128)
+        d[off][pos] = val
+
+    for i in range(0, half, length):
+        for j in range(lenh):
+            idx = pow(5, j, lenq) * (M // lenq) % M
+            w = np.exp(2j * np.pi * idx / M)
+            t0, t1 = i + j, i + j + lenh
+            if not inverse:
+                add(0, t0, 1.0)
+                add(lenh, t0, w)
+                add(0, t1, -w)
+                add(-lenh, t1, 1.0)
+            else:
+                add(0, t0, 0.5)
+                add(lenh, t0, 0.5)
+                add(0, t1, -0.5 / w)
+                add(-lenh, t1, 0.5 / w)
+    return d
 
 
-def _diagonals(mat: np.ndarray) -> Dict[int, np.ndarray]:
-    """{rotation step r: generalized diagonal d_r[j] = mat[j, (j+r) mod ns]}."""
-    ns = mat.shape[0]
-    out = {}
-    for r in range(ns):
-        d = mat[np.arange(ns), (np.arange(ns) + r) % ns]
-        if np.max(np.abs(d)) > 1e-12:
-            out[r] = d
-    return out
+def compose_diags(A: Dict[int, np.ndarray], B: Dict[int, np.ndarray],
+                  ns: int) -> Dict[int, np.ndarray]:
+    """Diagonal dict of (apply B first, then A)."""
+    C: Dict[int, np.ndarray] = {}
+    for r, a in A.items():
+        for s, b in B.items():
+            off = (r + s) % ns
+            C.setdefault(off, np.zeros(ns, np.complex128))
+            C[off] += a * np.roll(b, -r)
+    return {k: v for k, v in C.items() if np.max(np.abs(v)) > 1e-14}
+
+
+def build_dft_pieces(n: int, num_pieces: int, inverse: bool,
+                     fold: complex) -> List[Dict[int, np.ndarray]]:
+    """Group the special-FFT stages into `num_pieces` merged factors, in
+    application order, with `fold` distributed evenly across pieces.
+
+    CtoS uses inverse=True (stages S_half^-1 .. S_2^-1); StoC inverse=False
+    (S_2 .. S_half).  Bit-reversal is skipped on both sides (cancels)."""
+    half = n // 2
+    lens = [2]
+    while lens[-1] < half:
+        lens.append(lens[-1] * 2)
+    if inverse:
+        applied = [sf_stage_diags(n, L, True) for L in reversed(lens)]
+    else:
+        applied = [sf_stage_diags(n, L, False) for L in lens]
+    num_pieces = min(num_pieces, len(applied))
+    chunks = np.array_split(np.arange(len(applied)), num_pieces)
+    per_piece = fold ** (1.0 / num_pieces)
+    pieces = []
+    for ch in chunks:
+        mat = applied[ch[0]]
+        for i in ch[1:]:
+            mat = compose_diags(applied[i], mat, half)
+        pieces.append({k: v * per_piece for k, v in mat.items()})
+    return pieces
+
+
+def _bsgs_split(offsets: Sequence[int], ns: int) -> Tuple[int, Dict]:
+    """Pick n1 minimizing (#babies + 2*#giants); return giant->babies map."""
+    best = None
+    for bits in range(0, ns.bit_length()):
+        n1 = 1 << bits
+        babies = {r % n1 for r in offsets}
+        giants = {(r // n1) * n1 for r in offsets}
+        cost = len(babies) + 2 * len(giants)
+        if best is None or cost < best[0]:
+            best = (cost, n1)
+    n1 = best[1]
+    groups: Dict[int, List[int]] = {}
+    for r in sorted(offsets):
+        groups.setdefault((r // n1) * n1, []).append(r % n1)
+    return n1, groups
+
+
+# =========================================================================
+# Key / plaintext generation
+# =========================================================================
+
+def _encode_diag_qtilde(ctx: CkksContext, vec: np.ndarray, level: int,
+                        scale: float) -> np.ndarray:
+    """Encode slot vector over the extended basis Q̃ (active Q limbs + P):
+    host canonical embedding -> rounded integers -> residues (numpy)."""
+    a = ckks._embed_coeffs_from_slots(ctx, vec) * scale
+    coeffs = np.round(a).astype(object)
+    ka = ctx.active(level)
+    limbs = list(ctx.q_primes[:ka]) + list(ctx.p_primes)
+    res = np.empty((len(limbs), ctx.n), np.uint32)
+    for i, q in enumerate(limbs):
+        res[i] = (coeffs % q).astype(np.uint64).astype(np.uint32)
+    return res
+
+
+def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
+                 batch_encode, scale_mult: float = 1.0) -> Piece:
+    """scale_mult != 1 renormalizes the ciphertext scale through this piece:
+    output scale = input scale * scale_mult (the plaintext encoding scale is
+    a free knob; the rescale divides by exactly q_last)."""
+    ns = ctx.n // 2
+    ka = ctx.active(level)
+    scale = float(ctx.q_primes[ka - 1]) * scale_mult
+    n1, groups = _bsgs_split(list(diags), ns)
+    giants = []
+    for g, babies in groups.items():
+        vecs = [np.roll(diags[g + b if g + b in diags else (g + b) % ns], g)
+                for b in babies]
+        pts = batch_encode(vecs, level, scale)
+        giants.append((g, tuple(babies), pts))
+    return Piece(level=level, n1=n1, giants=tuple(giants), pt_scale=scale)
 
 
 def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
                             cfg: BootConfig = None,
                             msg_scale: float = None) -> BootKeys:
-    """Rotation/conj/relin keys + DFT diagonal tables with the EvalMod
-    constants folded in (reference Vandermonde builder + galois key-index
-    generation, operator.cu:5594-6580)."""
+    """Rotation/conj/relin keys + factored-DFT plaintext tables with the
+    EvalMod constants folded in (reference Vandermonde builder + galois
+    key-index generation, operator.cu:5594-6580)."""
+    assert ctx.ks_type == "I", "bootstrapping uses hoisting (Method-I context)"
     cfg = cfg or BootConfig()
     msg_scale = float(msg_scale or ctx.default_scale)
     n = ctx.n
-    half = n // 2
     q0 = int(ctx.q_primes[0])
-    U = _embedding_matrix(ctx)
-    Udag = U.conj().T / n                      # (n, half)
     c_in = 2 * math.pi * msg_scale / ((1 << cfg.exp_squarings) * q0)
-    A_low = Udag[:half] * c_in
-    A_high = Udag[half:] * c_in
     c_out = (-0.5j) * q0 / (2 * math.pi * msg_scale)
-    U_low = U[:, :half] * c_out
-    U_high = U[:, half:] * c_out
 
-    n1 = max(1, int(math.sqrt(half * cfg.bsgs_ratio)))
+    ctos_mats = build_dft_pieces(n, cfg.ctos_pieces, True, c_in / 2)
+    stoc_mats = build_dft_pieces(n, cfg.stoc_pieces, False, c_out)
+    p1 = len(ctos_mats)
+    stoc_level0 = p1 + cfg.taylor_degree + cfg.exp_squarings
+
+    def batch_encode(vecs, level, scale):
+        res = np.stack([_encode_diag_qtilde(ctx, v, level, scale)
+                        for v in vecs])
+        tb = ctx.ntt_qp_at(level)
+        base = ctx.base_qp_at(level)
+        p, pinv, r2, *_ = base.bview()
+        return mm.to_mont(nttm.ntt_fwd(jnp.asarray(res), tb), p, pinv, r2)
+
+    ctos_pieces = [_build_piece(ctx, m, lvl, batch_encode)
+                   for lvl, m in enumerate(ctos_mats)]
+    stoc_pieces = [_build_piece(ctx, m, stoc_level0 + i, batch_encode)
+                   for i, m in enumerate(stoc_mats)]
+
     steps = set()
-    for r in range(half):
-        steps.add(r % n1)
-        steps.add((r // n1) * n1)
-    steps.discard(0)
+    for pc in ctos_pieces + stoc_pieces:
+        for g, babies, _ in pc.giants:
+            steps.update(b for b in babies if b)
+            if g:
+                steps.add(g)
     gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
     rk = ckks.keygen_relin(ctx, jax.random.fold_in(key, 1), sk)
-    return BootKeys(gk=gk, rk=rk, cfg=cfg, n1=n1, msg_scale=msg_scale,
-                    ctos_diags=[_diagonals(A_low), _diagonals(A_high)],
-                    stoc_diags=[_diagonals(U_low), _diagonals(U_high)])
+    return BootKeys(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
+                    ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
+                    mult_i=ckks.monomial_mult_tables(ctx, n // 2),
+                    mult_neg_i=ckks.monomial_mult_tables(ctx, 2 * n - n // 2))
 
 
-# ---------------------------------------------------------------------
+# =========================================================================
 # Building blocks
-# ---------------------------------------------------------------------
+# =========================================================================
 
 def mod_raise(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
     """Lift a 1-limb ciphertext to the full chain (adds q0*I(X));
@@ -142,27 +295,51 @@ def rotate_exact(ctx, ct, gk: ringkit.GaloisKey, step: int):
     return ckks.apply_galois(ctx, ct, gk.keys[g])
 
 
-def matvec_bsgs(ctx: CkksContext, ct: Ciphertext, diags: Dict[int, np.ndarray],
-                keys: BootKeys) -> Ciphertext:
-    """Dense-diagonal BSGS matrix-vector product; consumes one level
-    (reference multiply_matrix, operator.cu:2803)."""
-    n1 = keys.n1
-    scale_pt = float(ctx.q_primes[ctx.active(ct.level) - 1])
-    babies = {0: ct}
-    for b in sorted({r % n1 for r in diags}):
-        if b not in babies:
-            babies[b] = rotate_exact(ctx, ct, keys.gk, b)
-    groups: Dict[int, Ciphertext] = {}
-    for r, d in diags.items():
-        b, g = r % n1, (r // n1) * n1
-        pt = ckks.encode(ctx, np.roll(d, g), scale=scale_pt, level=ct.level)
-        term = ckks.multiply_plain(ctx, babies[b], pt)
-        groups[g] = term if g not in groups else ckks.add(ctx, groups[g], term)
-    acc = None
-    for g, ct_g in groups.items():
-        ct_r = rotate_exact(ctx, ct_g, keys.gk, g)
-        acc = ct_r if acc is None else ckks.add(ctx, acc, ct_r)
-    return ckks.rescale(ctx, acc)
+def matvec_piece(ctx: CkksContext, ct: Ciphertext, piece: Piece,
+                 gk: ringkit.GaloisKey) -> Ciphertext:
+    """Double-hoisted BSGS matvec: one digit decomposition for all babies,
+    P-scaled accumulation in Q̃ per giant, one ÷P per giant, one rescale
+    (reference multiply_matrix / fast_single_hoisting_rotation,
+    operator.cu:2803/4674)."""
+    if ct.level < piece.level:
+        ct = ckks.mod_drop(ctx, ct, piece.level - ct.level)
+    lvl = ct.level
+    assert lvl == piece.level, f"piece expects level {piece.level}, got {lvl}"
+    ka = ctx.active(lvl)
+    base_qp = ctx.base_qp_at(lvl)
+    d_ntt = ckks.hoist(ctx, ct)
+
+    all_babies = sorted({b for _, babies, _ in piece.giants for b in babies})
+    reps = {}
+    for b in all_babies:
+        if b == 0:
+            reps[0] = (ckks.p_scale_to_qtilde(ctx, ct.c[0], lvl),
+                       ckks.p_scale_to_qtilde(ctx, ct.c[1], lvl))
+        else:
+            gk1 = gk.keys[polyops.steps_to_galois_elt(b, ctx.n)]
+            acc0, acc1, g0 = ckks.rotate_hoisted_raw(ctx, ct, d_ntt, gk1)
+            t0 = mm.add_mod(acc0, ckks.p_scale_to_qtilde(ctx, g0, lvl),
+                            base_qp.p[:, None])
+            reps[b] = (t0, acc1)
+
+    p, pinv, _, mu, r1, r1sh = base_qp.bview()
+    out = None
+    for g, babies, pts in piece.giants:
+        s0 = jnp.stack([reps[b][0] for b in babies])
+        s1 = jnp.stack([reps[b][1] for b in babies])
+        t0 = mm.mont_mul(s0, pts, p[None], pinv[None])
+        t1 = mm.mont_mul(s1, pts, p[None], pinv[None])
+        hi0, lo0 = rns.sum_u32_axis64(t0, axis=0)
+        hi1, lo1 = rns.sum_u32_axis64(t1, axis=0)
+        acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
+        acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
+        pair = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp_at(lvl),
+                                 ctx.div_p_at(lvl), True, ctx.ntt_q(lvl))
+        ct_g = Ciphertext(pair, 2, lvl, ct.scale * piece.pt_scale)
+        if g:
+            ct_g = rotate_exact(ctx, ct_g, gk, g)
+        out = ct_g if out is None else ckks.add(ctx, out, ct_g)
+    return ckks.rescale(ctx, out)
 
 
 def _const_pt(ctx, ct, value, scale):
@@ -175,13 +352,13 @@ def _mul_ct(ctx, a, b, rk) -> Ciphertext:
 
 
 def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
-    """x holds θ/… slots (entry constant already folded into CtoS): compute
-    u = exp(i·x) by Horner Taylor, square r times, return u - conj(u)
-    (the -i/2·q0/(2πΔ) exit constant lives in the StoC diagonals)."""
+    """x holds theta/2^r slots (entry constant folded into CtoS): compute
+    u = exp(i*x) by Horner Taylor, square r times, return u - conj(u)
+    (the -i/2*q0/(2*pi*Delta) exit constant lives in the StoC diagonals).
+    Reference exp_scaled / exp_taylor_approximation (operator.cu:4036)."""
     d = keys.cfg.taylor_degree
     r = keys.cfg.exp_squarings
     coefs = [(1j ** j) / math.factorial(j) for j in range(d + 1)]
-    # Horner: acc = c_d; for j = d-1..0: acc = acc*x + c_j
     acc = ckks.rescale(ctx, ckks.multiply_plain(
         ctx, x, _const_pt(ctx, x, coefs[d],
                           float(ctx.q_primes[ctx.active(x.level) - 1]))))
@@ -197,26 +374,33 @@ def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
 
 
 def coeff_to_slot(ctx, ct: Ciphertext, keys: BootKeys):
-    """(reference coeff_to_slot, operator.cu:3499) — returns the two halves
-    of the coefficient vector in slots, pre-scaled by the EvalMod entry
-    constant."""
-    outs = []
-    for diags in keys.ctos_diags:
-        w = matvec_bsgs(ctx, ct, diags, keys)
-        wc = ckks.conjugate(ctx, w, keys.gk)
-        outs.append(ckks.add(ctx, w, wc))
-    return outs[0], outs[1]
+    """(reference coeff_to_slot, operator.cu:3499) — returns t0 (low coeffs in
+    slots) and t1 (high coeffs), both pre-scaled by the EvalMod entry
+    constant.  Shares one factored-DFT pass: w = pieces(ct), then
+    t0 = w + conj(w), t1 = u + conj(u) with u = -i*w."""
+    w = ct
+    for piece in keys.ctos_pieces:
+        w = matvec_piece(ctx, w, piece, keys.gk)
+    wc = ckks.conjugate(ctx, w, keys.gk)
+    t0 = ckks.add(ctx, w, wc)
+    u = ckks.multiply_by_monomial(ctx, w, keys.mult_neg_i)
+    uc = ckks.conjugate(ctx, u, keys.gk)
+    t1 = ckks.add(ctx, u, uc)
+    return t0, t1
 
 
 def slot_to_coeff(ctx, s0: Ciphertext, s1: Ciphertext, keys: BootKeys):
-    a = matvec_bsgs(ctx, s0, keys.stoc_diags[0], keys)
-    b = matvec_bsgs(ctx, s1, keys.stoc_diags[1], keys)
-    return ckks.add(ctx, a, b)
+    """m = s0 + i*s1, then the forward factored DFT (reference slot_to_coeff,
+    operator.cu:3740)."""
+    m = ckks.add(ctx, s0, ckks.multiply_by_monomial(ctx, s1, keys.mult_i))
+    for piece in keys.stoc_pieces:
+        m = matvec_piece(ctx, m, piece, keys.gk)
+    return m
 
 
-# ---------------------------------------------------------------------
+# =========================================================================
 # Entry points
-# ---------------------------------------------------------------------
+# =========================================================================
 
 def regular_bootstrap(ctx: CkksContext, ct: Ciphertext, keys: BootKeys) -> Ciphertext:
     """Input: coefficient-encoded message at the last level (1 limb).
@@ -229,12 +413,3 @@ def regular_bootstrap(ctx: CkksContext, ct: Ciphertext, keys: BootKeys) -> Ciphe
     # the pipeline's constants are folded so the output *value* equals the
     # input message exactly; the drifted scale metadata stays authoritative.
     return slot_to_coeff(ctx, s0, s1, keys)
-
-
-def slim_bootstrap(ctx: CkksContext, ct: Ciphertext, keys: BootKeys) -> Ciphertext:
-    """Slot-form payload refresh: for the dense-DFT formulation the slim
-    variant shares the regular pipeline; the caller's ct must be
-    coefficient-encoded (use slot payloads via encode/decode symmetry).
-    Full slim (StoC-first at depth) lands with the multi-piece DFT
-    factorization."""
-    return regular_bootstrap(ctx, ct, keys)

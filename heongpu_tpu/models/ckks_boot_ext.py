@@ -1,0 +1,316 @@
+"""CKKS bootstrapping variants: Chebyshev-cosine EvalMod (v2), slim, bit and
+gate bootstrapping.
+
+Capability match for the reference's bootstrapping family
+(src/lib/host/ckks/operator.cu:7147+ regular_bootstrapping_v2 with eval_mod,
+slim_bootstrapping, bit_bootstrapping, gate_bootstrapping and the
+{AND,OR,XOR,NAND,NOR,XNOR}_bootstrapping gates of ePrint 2024/767 —
+SURVEY §2.4; scheme enums util/schemes.h:120-127), redesigned for TPU:
+
+  * EvalMod v2 = Chebyshev interpolation of cos on the mod-raise interval,
+    evaluated in the power basis with the BSGS engine (poly_eval.py,
+    depth ceil(log2 d)+1), followed by r double-angle steps:
+    cos(2^r·θ0) where θ0 = (2π·raw/q0 + φ - π/2)/2^r.  With φ=0 this yields
+    sin(2π·raw/q0) — the modular reduction.  The reference's eval_mod
+    Chebyshev path (operator.cu:4036-4673) is the same mathematics.
+  * Bit/gate bootstrapping re-use the cosine engine with a gate-specific
+    phase φ and an affine output map (1±2·cos)/3 etc., realized for free via
+    scale metadata, negation and one add_plain (ePrint 2024/767: messages at
+    scale q0/2 for bits, q0/3 for 2-input gates).
+  * Slim ordering (StoC → mod-raise → CtoS → EvalMod) places the StoC pieces
+    at the end of the modulus chain; piece levels are fixed at keygen.
+  * Exit constants are absorbed into the *output scale metadata* instead of
+    an extra multiplication (a TPU-functional simplification the reference
+    achieves with fused kernels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+import numpy as np
+import jax
+
+from . import ckks, ckks_boot, poly_eval, ringkit
+from .ckks import CkksContext, Ciphertext
+from .ckks_boot import BootConfig, Piece, build_dft_pieces, _build_piece
+
+
+@dataclasses.dataclass
+class BootConfigV2:
+    """Reference BootstrappingConfigV2{EncodingMatrixConfig, EvalModConfig}
+    (util/util.cuh:77-174)."""
+    cos_degree: int = 24        # Chebyshev degree for cos approximation
+    double_angles: int = 5      # r: evaluate cos(θ/2^r), then double r times
+    # R = 2π(K+1)/2^r must stay ≲ 3: the power-basis evaluation of cos(R·y)
+    # is only well-conditioned for small R (monomial coefficients grow like
+    # R^k/k!, amplifying ciphertext noise through cancellation).
+    K: int = 12                 # mod-raise overflow bound ||I||_inf
+    ctos_pieces: int = 2
+    stoc_pieces: int = 2
+
+    @property
+    def evalmod_depth(self) -> int:
+        m = max(1, self.cos_degree.bit_length())   # 2^m > degree
+        return m + 1 + self.double_angles
+
+    @property
+    def R(self) -> float:
+        """Chebyshev half-interval: |θ0| ≤ 2π(K+1)/2^r."""
+        return 2 * math.pi * (self.K + 1) / (1 << self.double_angles)
+
+
+@dataclasses.dataclass
+class BootKeysV2:
+    gk: ringkit.GaloisKey
+    rk: ringkit.KSKey
+    cfg: BootConfigV2
+    msg_scale: float
+    variant: str                # 'regular' | 'slim' | 'bit' | 'gate'
+    ctos_pieces: List[Piece]
+    stoc_pieces: List[Piece]
+    mult_i: tuple
+    mult_neg_i: tuple
+    cos_coeffs: np.ndarray      # power-basis coeffs of cos(R·y) on [-1,1]
+
+    @property
+    def ctos_out_level(self) -> int:
+        return len(self.ctos_pieces)
+
+
+def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
+                               cfg: BootConfigV2 = None,
+                               variant: str = "regular",
+                               msg_scale: Optional[float] = None) -> BootKeysV2:
+    """Key + matrix generation for the v2 family.  Piece placement:
+      regular: CtoS at levels 0..p1-1, StoC after EvalMod.
+      slim/bit/gate: StoC at the chain tail (ending at the last limb), CtoS
+      at levels 0..p1-1 after the mod-raise; no trailing StoC."""
+    assert ctx.ks_type == "I"
+    cfg = cfg or BootConfigV2()
+    msg_scale = float(msg_scale or ctx.default_scale)
+    n = ctx.n
+    q0 = int(ctx.q_primes[0])
+    r = cfg.double_angles
+    # t0 slots = f_fold*2*(raw coeff)/Δ must equal (2π·raw/q0)/(2^r·R)
+    f_ctos = (2 * math.pi * msg_scale / ((1 << r) * q0 * cfg.R)) / 2
+
+    ctos_mats = build_dft_pieces(n, cfg.ctos_pieces, True, f_ctos)
+    p1 = len(ctos_mats)
+    # the last CtoS piece renormalizes the working scale to default_scale so
+    # EvalMod's power ladder is well-scaled even when msg_scale << q0
+    ctos_pieces = [
+        _build_piece(ctx, m, lvl, _encoder(ctx),
+                     scale_mult=(ctx.default_scale / msg_scale
+                                 if lvl == p1 - 1 else 1.0))
+        for lvl, m in enumerate(ctos_mats)]
+
+    stoc_pieces = []
+    if variant == "regular":
+        c_out = q0 / (2 * math.pi * msg_scale)
+        stoc_mats = build_dft_pieces(n, cfg.stoc_pieces, False, c_out)
+        lvl0 = p1 + cfg.evalmod_depth
+        stoc_pieces = [_build_piece(ctx, m, lvl0 + i, _encoder(ctx))
+                       for i, m in enumerate(stoc_mats)]
+    else:
+        stoc_mats = build_dft_pieces(n, cfg.stoc_pieces, False, 1.0)
+        lvl0 = ctx.k - 1 - len(stoc_mats)
+        assert lvl0 >= 0, "chain too short for slim StoC placement"
+        stoc_pieces = [_build_piece(ctx, m, lvl0 + i, _encoder(ctx))
+                       for i, m in enumerate(stoc_mats)]
+
+    steps = set()
+    for pc in ctos_pieces + stoc_pieces:
+        for g, babies, _ in pc.giants:
+            steps.update(b for b in babies if b)
+            if g:
+                steps.add(g)
+    gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
+    rk = ckks.keygen_relin(ctx, jax.random.fold_in(key, 1), sk)
+    cos_coeffs = poly_eval.cosine_approx_coeffs(cfg.R, cfg.cos_degree)
+    return BootKeysV2(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
+                      variant=variant,
+                      ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
+                      mult_i=ckks.monomial_mult_tables(ctx, n // 2),
+                      mult_neg_i=ckks.monomial_mult_tables(ctx, 2 * n - n // 2),
+                      cos_coeffs=cos_coeffs)
+
+
+def _encoder(ctx):
+    from ..ops import modmath as mm
+    from ..ops import ntt as nttm
+    import jax.numpy as jnp
+
+    def batch_encode(vecs, level, scale):
+        res = np.stack([ckks_boot._encode_diag_qtilde(ctx, v, level, scale)
+                        for v in vecs])
+        tb = ctx.ntt_qp_at(level)
+        base = ctx.base_qp_at(level)
+        p, pinv, r2, *_ = base.bview()
+        return mm.to_mont(nttm.ntt_fwd(jnp.asarray(res), tb), p, pinv, r2)
+
+    return batch_encode
+
+
+# =========================================================================
+# Cosine EvalMod engine
+# =========================================================================
+
+def eval_cos_engine(ctx: CkksContext, t: Ciphertext, keys: BootKeysV2,
+                    phase: float) -> Ciphertext:
+    """Given t = A/(2^r·R) with A = 2π·raw/q0 (the CtoS fold), return
+    cos(A + phase): shift by phase/(2^r·R), Chebyshev-evaluate cos(R·y),
+    then double-angle r times (reference eval_mod, operator.cu:4036)."""
+    cfg = keys.cfg
+    r = cfg.double_angles
+    shift = phase / ((1 << r) * cfg.R)
+    if abs(shift) > 1e-30:
+        pt = ckks.encode(ctx, np.full(ctx.n // 2, shift, np.complex128),
+                         scale=t.scale, level=t.level)
+        y = ckks.add_plain(ctx, t, pt)
+    else:
+        y = t
+    c = poly_eval.eval_poly_bsgs(ctx, y, keys.cos_coeffs, keys.rk)
+    for _ in range(r):
+        sq = ckks.rescale(ctx, ckks.relinearize(
+            ctx, ckks.multiply(ctx, c, c), keys.rk))
+        two_sq = ckks.add(ctx, sq, sq)
+        one = ckks.encode(ctx, np.ones(ctx.n // 2), scale=two_sq.scale,
+                          level=two_sq.level)
+        c = ckks.sub_plain(ctx, two_sq, one)
+    return c
+
+
+def eval_mod_sin(ctx, t: Ciphertext, keys: BootKeysV2) -> Ciphertext:
+    """Modular reduction: returns sin(2π·raw/q0) = cos(2π·raw/q0 − π/2)."""
+    return eval_cos_engine(ctx, t, keys, phase=-math.pi / 2)
+
+
+# =========================================================================
+# Entry points
+# =========================================================================
+
+def regular_bootstrap_v2(ctx: CkksContext, ct: Ciphertext,
+                         keys: BootKeysV2) -> Ciphertext:
+    """Chebyshev-EvalMod regular bootstrapping (reference
+    regular_bootstrapping_v2, operator.cu:7147)."""
+    assert keys.variant == "regular"
+    raised = ckks_boot.mod_raise(ctx, ct)
+    t0, t1 = _coeff_to_slot(ctx, raised, keys)
+    s0 = eval_mod_sin(ctx, t0, keys)
+    s1 = eval_mod_sin(ctx, t1, keys)
+    out = _slot_to_coeff(ctx, s0, s1, keys)
+    return out
+
+
+def slim_bootstrap(ctx: CkksContext, ct: Ciphertext,
+                   keys: BootKeysV2) -> Ciphertext:
+    """Slot-payload refresh: StoC at the chain tail, mod-raise, CtoS, EvalMod,
+    recombine — output stays in slots (reference slim_bootstrapping).
+
+    Precision note: slim's StoC produces coefficients equal to the slot
+    values, so the sin(x)≈x modular-reduction error scales as
+    (2π·msg_scale·|z|/q0)²/6 — encrypt the payload at msg_scale ≪ q0 (e.g.
+    2^21 under a 29-bit q0) and pass the same msg_scale at keygen."""
+    assert keys.variant == "slim"
+    m = ct
+    for piece in keys.stoc_pieces:
+        m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
+    assert ctx.active(m.level) == 1, "slim StoC must end on the last limb"
+    raised = ckks_boot.mod_raise(ctx, m)
+    t0, t1 = _coeff_to_slot(ctx, raised, keys)
+    s0 = eval_mod_sin(ctx, t0, keys)
+    s1 = eval_mod_sin(ctx, t1, keys)
+    out = ckks.add(ctx, s0, ckks.multiply_by_monomial(ctx, s1, keys.mult_i))
+    # value = sin(2π·Δm/q0) ≈ 2πΔ/q0 · m: absorb the exit constant in scale
+    q0 = int(ctx.q_primes[0])
+    out_scale = out.scale * 2 * math.pi * keys.msg_scale / q0
+    return Ciphertext(out.c, out.size, out.level, out_scale)
+
+
+def bit_bootstrap(ctx: CkksContext, ct: Ciphertext,
+                  keys: BootKeysV2) -> Ciphertext:
+    """Refresh a ciphertext whose slots hold bits encoded at scale q0/2
+    (reference bit_bootstrapping, ePrint 2024/767): b = (1 − cos(2π·raw/q0))/2
+    since raw = (q0/2)·b + q0·I."""
+    assert keys.variant == "bit"
+    m = ct
+    for piece in keys.stoc_pieces:
+        m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
+    raised = ckks_boot.mod_raise(ctx, m)
+    t0, t1 = _coeff_to_slot(ctx, raised, keys)
+    outs = []
+    for t in (t0, t1):
+        c = eval_cos_engine(ctx, t, keys, phase=0.0)          # cos(2π·raw/q0)
+        outs.append(_affine(ctx, c, mul=-0.5, add=0.5))       # (1-cos)/2
+    out = ckks.add(ctx, outs[0],
+                   ckks.multiply_by_monomial(ctx, outs[1], keys.mult_i))
+    return out
+
+
+GATE_TABLE = {
+    # gate: (phase φ so cos(A+φ)=1 exactly on the accepting sum, mul, add)
+    # A = 2π(I + s/3), s = b1+b2; cos values are 1 (accept) or -1/2.
+    "AND":  (-4 * math.pi / 3, 2 / 3, 1 / 3),
+    "OR":   (0.0, -2 / 3, 1 / 3 + 1 / 3),   # 1 - (2cos+1)/3 = (2-2cos... )
+    "XOR":  (-2 * math.pi / 3, 2 / 3, 1 / 3),
+    "NAND": (-4 * math.pi / 3, -2 / 3, 1 - 1 / 3),
+    "NOR":  (0.0, 2 / 3, 1 / 3),
+    "XNOR": (-2 * math.pi / 3, -2 / 3, 1 - 1 / 3),
+}
+
+
+def gate_bootstrap(ctx: CkksContext, ct1: Ciphertext, ct2: Ciphertext,
+                   gate: str, keys: BootKeysV2) -> Ciphertext:
+    """Boolean gate with built-in refresh (reference gate_bootstrapping +
+    {AND,...}_bootstrapping): inputs hold bits at scale q0/3 in slots;
+    s = b1 + b2 ∈ {0,1,2}; the gate output is an affine map of
+    cos(2π(I + s/3) + φ_gate)."""
+    assert keys.variant == "gate"
+    phase, mul, add = GATE_TABLE[gate.upper()]
+    m = ckks.add(ctx, ct1, ct2)
+    for piece in keys.stoc_pieces:
+        m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
+    raised = ckks_boot.mod_raise(ctx, m)
+    t0, t1 = _coeff_to_slot(ctx, raised, keys)
+    outs = []
+    for t in (t0, t1):
+        c = eval_cos_engine(ctx, t, keys, phase=phase)
+        outs.append(_affine(ctx, c, mul=mul, add=add))
+    return ckks.add(ctx, outs[0],
+                    ckks.multiply_by_monomial(ctx, outs[1], keys.mult_i))
+
+
+def _affine(ctx, c: Ciphertext, mul: float, add: float) -> Ciphertext:
+    """mul*c + add for free: scale metadata absorbs |mul|, negation handles
+    the sign, one add_plain lands the constant."""
+    out = c
+    if mul < 0:
+        out = ckks.negate(ctx, out)
+    out = Ciphertext(out.c, out.size, out.level, out.scale / abs(mul))
+    if abs(add) > 1e-30:
+        pt = ckks.encode(ctx, np.full(ctx.n // 2, add, np.complex128),
+                         scale=out.scale, level=out.level)
+        out = ckks.add_plain(ctx, out, pt)
+    return out
+
+
+def _coeff_to_slot(ctx, ct, keys: BootKeysV2):
+    w = ct
+    for piece in keys.ctos_pieces:
+        w = ckks_boot.matvec_piece(ctx, w, piece, keys.gk)
+    wc = ckks.conjugate(ctx, w, keys.gk)
+    t0 = ckks.add(ctx, w, wc)
+    u = ckks.multiply_by_monomial(ctx, w, keys.mult_neg_i)
+    uc = ckks.conjugate(ctx, u, keys.gk)
+    t1 = ckks.add(ctx, u, uc)
+    return t0, t1
+
+
+def _slot_to_coeff(ctx, s0, s1, keys: BootKeysV2):
+    m = ckks.add(ctx, s0, ckks.multiply_by_monomial(ctx, s1, keys.mult_i))
+    for piece in keys.stoc_pieces:
+        m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
+    return m

@@ -214,19 +214,24 @@ def slice_key_level(k_arr, k_lvl: int, k_full: int):
     return jnp.concatenate([k_arr[:k_lvl, :k_lvl], k_arr[:k_lvl, k_full:]], axis=1)
 
 
-def keyswitch_core(poly_q, k0, k1, base_qp: rns.Base, ntt_qp: nttm.NttTables,
-                   div_p: rns.DivRoundLastq, in_ntt: bool, out_ntt: bool,
-                   ntt_q: Optional[nttm.NttTables] = None):
-    """Method-I keyswitch of one poly over the (possibly leveled) basis.
+def hoist_digits(poly_q, base_qp: rns.Base, ntt_qp: nttm.NttTables,
+                 in_ntt: bool, ntt_q: Optional[nttm.NttTables] = None):
+    """Phase 1 of Method-I keyswitch: RNS-digit decompose + NTT over Q̃.
 
-    poly_q: (k, n) over Q-part of base_qp.  Returns (d0, d1) over Q.
-    The digits MAC is the hot loop — TPU analog of
-    keyswitch_multiply_accumulate_kernel (reference kernel/switchkey.cu:61)."""
-    k = poly_q.shape[-2]
+    Shared across many rotations of the same ciphertext — the TPU analog of
+    the reference's hoisting (ckks_duplicate_kernel + single decomposition in
+    fast_single_hoisting_rotation, src/lib/host/ckks/operator.cu:4674)."""
     if in_ntt:
         poly_q = nttm.ntt_inv(poly_q, ntt_q)
     digits = rns.decompose_to_base(poly_q, base_qp)        # (k, k+p, n)
-    d_ntt = nttm.ntt_fwd(digits, ntt_qp)
+    return nttm.ntt_fwd(digits, ntt_qp)
+
+
+def hoisted_mac(d_ntt, k0, k1, base_qp: rns.Base):
+    """Phase 2: the hot inner product Σ_d digit×ksk over Q̃ (NTT domain).
+    Returns the P-scaled pair (acc0, acc1) *before* the ÷P step — TPU analog
+    of keyswitch_multiply_accumulate_kernel (reference kernel/switchkey.cu:61).
+    """
     p, pinv, _, mu, r1, r1sh = base_qp.bview()
     t0 = mm.mont_mul(d_ntt, k0, p, pinv)
     t1 = mm.mont_mul(d_ntt, k1, p, pinv)
@@ -234,9 +239,27 @@ def keyswitch_core(poly_q, k0, k1, base_qp: rns.Base, ntt_qp: nttm.NttTables,
     hi1, lo1 = rns.sum_u32_axis64(t1, axis=-3)
     acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
     acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
-    acc = nttm.ntt_inv(jnp.stack([acc0, acc1]), ntt_qp)
-    d0, d1 = div_p(acc[0]), div_p(acc[1])
+    return acc0, acc1
+
+
+def ks_finish(acc, ntt_qp: nttm.NttTables, div_p: rns.DivRoundLastq,
+              out_ntt: bool, ntt_q: Optional[nttm.NttTables] = None):
+    """Phase 3: INTT over Q̃, exact ÷P with rounding, optional NTT over Q
+    (reference divide_round_lastq_* family).  acc: (..., k+p, n) NTT-domain."""
+    coeff = nttm.ntt_inv(acc, ntt_qp)
+    out = div_p(coeff)
     if out_ntt:
-        d0 = nttm.ntt_fwd(d0, ntt_q)
-        d1 = nttm.ntt_fwd(d1, ntt_q)
-    return d0, d1
+        out = nttm.ntt_fwd(out, ntt_q)
+    return out
+
+
+def keyswitch_core(poly_q, k0, k1, base_qp: rns.Base, ntt_qp: nttm.NttTables,
+                   div_p: rns.DivRoundLastq, in_ntt: bool, out_ntt: bool,
+                   ntt_q: Optional[nttm.NttTables] = None):
+    """Method-I keyswitch of one poly over the (possibly leveled) basis.
+
+    poly_q: (k, n) over Q-part of base_qp.  Returns (d0, d1) over Q."""
+    d_ntt = hoist_digits(poly_q, base_qp, ntt_qp, in_ntt, ntt_q)
+    acc0, acc1 = hoisted_mac(d_ntt, k0, k1, base_qp)
+    out = ks_finish(jnp.stack([acc0, acc1]), ntt_qp, div_p, out_ntt, ntt_q)
+    return out[0], out[1]

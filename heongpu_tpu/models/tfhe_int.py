@@ -1,0 +1,195 @@
+"""Encrypted unsigned integers (huint8..huint256) over TFHE gate
+bootstrapping.
+
+Capability match for the reference's advertised huint types
+(README.md:52-66 — huint8..256 addition is HEonGPU's headline TFHE
+benchmark; the types are built from the §2.5 gate set).  TPU-first redesign:
+
+  * Kogge-Stone parallel-prefix carry computation instead of a ripple chain:
+    depth 2 + 2*ceil(log2(W)) bootstrap *rounds* for W-bit addition, where
+    every round is ONE batched blind rotation over up to 2W gates.  This
+    works because every 2-input TFHE gate is (linear pre-comp -> shared
+    bootstrap): heterogeneous gate mixes concatenate into a single
+    bootstrap_raw call, which the batched TPU CMux kernel digests at
+    near-constant latency (SURVEY §2.6: fill the MXU/VPU across gates
+    instead of racing one CMux chain).
+  * SIMD over vectors of integers for free: the batch axis holds
+    (count x width) bits.
+
+Carry semantics: add/sub return (result, carry/borrow ciphertext).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import tfhe
+
+U32 = jnp.uint32
+MU = tfhe.MU
+
+
+@dataclasses.dataclass(frozen=True)
+class HUint:
+    """count integers of `width` bits each; bits ct batch is (count*width,),
+    LSB-first within each integer."""
+    bits: tfhe.Ciphertext
+    width: int
+    count: int
+
+
+def _cat(*cts: tfhe.Ciphertext) -> tfhe.Ciphertext:
+    return tfhe.Ciphertext(jnp.concatenate([c.a for c in cts]),
+                           jnp.concatenate([c.b for c in cts]))
+
+
+def _slc(ct: tfhe.Ciphertext, lo: int, hi: int) -> tfhe.Ciphertext:
+    return tfhe.Ciphertext(ct.a[lo:hi], ct.b[lo:hi])
+
+
+def _trivial(nbits: int, value: bool) -> tfhe.Ciphertext:
+    """Noise-free LWE encoding of a constant bit (a=0, b=±mu)."""
+    b = MU if value else (jnp.uint32(0) - MU)
+    return tfhe.Ciphertext(jnp.zeros((nbits, tfhe.LWE_N), U32),
+                           jnp.full((nbits,), b, U32))
+
+
+# ---- batched linear pre-computations (reference tfhe_*_pre_comp kernels) ----
+
+def _pre_and(c1, c2):
+    return tfhe.Ciphertext(c1.a + c2.a, c1.b + c2.b - MU)
+
+
+def _pre_or(c1, c2):
+    return tfhe.Ciphertext(c1.a + c2.a, c1.b + c2.b + MU)
+
+
+def _pre_xor(c1, c2):
+    two = jnp.uint32(2)
+    return tfhe.Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU)
+
+
+def encrypt_huint(ctx, sk, values, width: int, key) -> HUint:
+    """values: int or sequence of ints; width in {8,16,32,64,128,256,...}."""
+    vals = np.atleast_1d(np.asarray(values, object))
+    bits = np.zeros((len(vals), width), np.int64)
+    for i, v in enumerate(vals):
+        for j in range(width):
+            bits[i, j] = (int(v) >> j) & 1
+    ct = tfhe.encrypt(ctx, sk, bits.reshape(-1), key)
+    return HUint(ct, width, len(vals))
+
+
+def decrypt_huint(ctx, sk, x: HUint) -> np.ndarray:
+    bits = tfhe.decrypt(ctx, sk, x.bits).reshape(x.count, x.width)
+    out = np.zeros(x.count, object)
+    for j in range(x.width):
+        out += bits[:, j].astype(object) << j
+    return out
+
+
+def _shift_gp(g: tfhe.Ciphertext, p: tfhe.Ciphertext, count: int, width: int,
+              offset: int):
+    """(g, p) shifted up by `offset` bit positions within each integer,
+    padding with the prefix-identity (g=0, p=arbitrary->0)."""
+    ga = g.a.reshape(count, width, -1)
+    gb = g.b.reshape(count, width)
+    pa = p.a.reshape(count, width, -1)
+    pb = p.b.reshape(count, width)
+    pad = _trivial(count * offset, False)
+    pad_a = pad.a.reshape(count, offset, -1)
+    pad_b = pad.b.reshape(count, offset)
+    gs = tfhe.Ciphertext(
+        jnp.concatenate([pad_a, ga[:, :width - offset]], axis=1).reshape(g.a.shape),
+        jnp.concatenate([pad_b, gb[:, :width - offset]], axis=1).reshape(g.b.shape))
+    ps = tfhe.Ciphertext(
+        jnp.concatenate([pad_a, pa[:, :width - offset]], axis=1).reshape(p.a.shape),
+        jnp.concatenate([pad_b, pb[:, :width - offset]], axis=1).reshape(p.b.shape))
+    return gs, ps
+
+
+def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
+              count: int, width: int,
+              carry_in: Optional[tfhe.Ciphertext] = None):
+    """Kogge-Stone addition on bit ciphertexts.  Returns (sum bits, carry out).
+
+    Rounds: 1 (g,p) + 2*ceil(log2(width(+1))) (prefix) + 1 (sum) batched
+    bootstraps."""
+    B = count * width
+    # round 1: g = a AND b, p = a XOR b — one fused bootstrap
+    pre = _cat(_pre_and(xbits, ybits), _pre_xor(xbits, ybits))
+    gp = tfhe.bootstrap_raw(ctx, bk, pre)
+    g, p = _slc(gp, 0, B), _slc(gp, B, 2 * B)
+    p_orig = p  # the sum bits need a XOR b after the prefix consumes p
+
+    # incorporate carry-in as a virtual position -1 by OR-ing it into g_0
+    # via (g0', p0') = (g0 OR (p0 AND cin), p0): one extra combine round
+    if carry_in is not None:
+        cin = carry_in  # (count,) batch
+        p0 = tfhe.Ciphertext(p.a.reshape(count, width, -1)[:, 0],
+                             p.b.reshape(count, width)[:, 0])
+        t = tfhe.bootstrap_raw(ctx, bk, _pre_and(p0, cin))
+        g0 = tfhe.Ciphertext(g.a.reshape(count, width, -1)[:, 0],
+                             g.b.reshape(count, width)[:, 0])
+        g0n = tfhe.bootstrap_raw(ctx, bk, _pre_or(g0, t))
+        ga = g.a.reshape(count, width, -1).at[:, 0].set(g0n.a)
+        gb = g.b.reshape(count, width).at[:, 0].set(g0n.b)
+        g = tfhe.Ciphertext(ga.reshape(g.a.shape), gb.reshape(g.b.shape))
+
+    # Kogge-Stone prefix: after the loop, g[i] = carry OUT of position i
+    offset = 1
+    while offset < width:
+        gs, ps = _shift_gp(g, p, count, width, offset)
+        # t1 = p AND g_shifted ; t2 = p AND p_shifted  (one bootstrap)
+        pre = _cat(_pre_and(p, gs), _pre_and(p, ps))
+        t = tfhe.bootstrap_raw(ctx, bk, pre)
+        t1, t2 = _slc(t, 0, B), _slc(t, B, 2 * B)
+        g = tfhe.bootstrap_raw(ctx, bk, _pre_or(g, t1))
+        p = t2
+        offset *= 2
+
+    # carries into each position: c_i = g[i-1] (c_0 = carry_in handled above)
+    ga = g.a.reshape(count, width, -1)
+    gb = g.b.reshape(count, width)
+    pad = _trivial(count, False)
+    carry_a = jnp.concatenate([pad.a.reshape(count, 1, -1),
+                               ga[:, :width - 1]], axis=1)
+    carry_b = jnp.concatenate([pad.b.reshape(count, 1),
+                               gb[:, :width - 1]], axis=1)
+    carries = tfhe.Ciphertext(carry_a.reshape(-1, tfhe.LWE_N),
+                              carry_b.reshape(-1))
+    if carry_in is not None:
+        # c_0 = carry_in exactly
+        ca = carries.a.reshape(count, width, -1).at[:, 0].set(carry_in.a)
+        cb = carries.b.reshape(count, width).at[:, 0].set(carry_in.b)
+        carries = tfhe.Ciphertext(ca.reshape(-1, tfhe.LWE_N), cb.reshape(-1))
+
+    s = tfhe.bootstrap_raw(ctx, bk, _pre_xor(p_orig, carries))
+    carry_out = tfhe.Ciphertext(ga[:, width - 1], gb[:, width - 1])
+    return s, carry_out
+
+
+def add(ctx, bk, x: HUint, y: HUint) -> Tuple[HUint, tfhe.Ciphertext]:
+    """x + y mod 2^width, plus the carry-out bit (reference huint add)."""
+    assert x.width == y.width and x.count == y.count
+    s, cout = _add_core(ctx, bk, x.bits, y.bits, x.count, x.width)
+    return HUint(s, x.width, x.count), cout
+
+
+def sub(ctx, bk, x: HUint, y: HUint) -> Tuple[HUint, tfhe.Ciphertext]:
+    """x - y mod 2^width; second return is the NO-borrow bit (1 if x >= y)."""
+    assert x.width == y.width and x.count == y.count
+    ynot = tfhe.NOT(ctx, y.bits)
+    one = _trivial(x.count, True)
+    s, cout = _add_core(ctx, bk, x.bits, ynot, x.count, x.width, carry_in=one)
+    return HUint(s, x.width, x.count), cout
+
+
+def bootstrap_rounds(width: int) -> int:
+    """Number of batched blind-rotation rounds one addition costs."""
+    return 2 + 2 * max(1, math.ceil(math.log2(width))) + 1

@@ -1,28 +1,36 @@
 """Negacyclic NTT/INTT over RNS primes, batched over limbs and polynomials.
 
 TPU-native replacement for GPU-NTT (`gpuntt` merged-radix kernels used by the
-reference at e.g. src/lib/host/bfv/operator.cu:376-391).  Instead of CUDA
-shared-memory butterfly stages, we express the transform as log2(N) fully
-vectorised stages over a (..., L, N) array: XLA fuses each stage into a few
-large VPU ops, and the limb axis L is the natural sharding axis for a device
-mesh (each limb is an independent transform).
+reference at e.g. src/lib/host/bfv/operator.cu:376-391), built as a
+**four-step NTT**: N = N1·N2, so the transform is
+
+    pre-scale psi^i  →  N2 independent GS-DIF NTTs of size N1 (axis -2)
+    →  cross-twiddle w^(i2·j1)  →  transpose  →
+    N1 independent GS-DIF NTTs of size N2 (axis -2)
+
+Every butterfly runs along a *sublane* axis (full-width VPU vector ops, no
+lane shuffles), there is exactly one transpose, and — crucially — there are
+**zero data permutations**: like SEAL/GPU-NTT we keep the NTT domain in the
+algorithm's natural storage order instead of bit-reversing.
 
 Layout/ordering contract (framework-wide):
   * "coefficient domain": a[..., L, i] = coefficient of X^i reduced mod p_L.
-  * "NTT domain": A[..., L, j] = a(psi * w^j) where w = psi^2 is an N-th root
-    of unity mod p_L and psi is a primitive 2N-th root — i.e. evaluations at
-    the odd powers psi^(2j+1) in *natural j order*.  Galois automorphisms act
-    on this layout as a fixed gather (see ops/polyops.py).
+  * "NTT domain": position p holds the evaluation a(psi^(2j+1)) where
+    j = eval_order(n)[p]  (eval_order[p] = br2(p // N1)·N1 + br1(p % N1)).
+    Pointwise ops never care; Galois/slot/monomial index tables are built
+    against eval_order (ops/polyops.py, models/ckks.py).
 
-Negacyclic handling: forward pre-scales by psi^i then runs a cyclic NTT
-(bit-reverse gather + Cooley-Tukey stages); inverse runs the conjugate stages
-then post-scales by psi^{-i} * N^{-1} (folded into one table).
+The inverse runs the mirror chain (CT-DIT stages consume the bit-reversed
+sub-order the forward produced) and folds n^{-1}·psi^{-i} into one table.
+
+The same tables drive both the jnp stage path (XLA-fused, used on CPU and
+for small N) and the fused Pallas TPU kernel (ops/ntt_pallas.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import numpy as np
@@ -33,24 +41,57 @@ from ..utils import nt
 from . import modmath as mm
 
 
+def split_n(n: int) -> Tuple[int, int]:
+    """N1·N2 = N with N1 = 2^(logn//2) ≤ N2 (N2 is the lane-friendly axis)."""
+    logn = n.bit_length() - 1
+    n1 = 1 << (logn // 2)
+    return n1, n // n1
+
+
+@lru_cache(maxsize=None)
+def eval_order(n: int) -> np.ndarray:
+    """eval_order[p] = j such that NTT-domain position p holds a(psi^(2j+1))."""
+    n1, n2 = split_n(n)
+    b1 = n1.bit_length() - 1
+    b2 = n2.bit_length() - 1
+    r = np.arange(n1)
+    s = np.arange(n2)
+    br1 = np.array([nt.bit_reverse(int(i), b1) for i in r], np.int64)
+    br2 = np.array([nt.bit_reverse(int(i), b2) for i in s], np.int64)
+    return (br2[:, None] * n1 + br1[None, :]).reshape(-1).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def inv_eval_order(n: int) -> np.ndarray:
+    """inv_eval_order[j] = storage position of the evaluation at psi^(2j+1)."""
+    eo = eval_order(n)
+    ieo = np.empty_like(eo)
+    ieo[eo] = np.arange(n, dtype=np.int32)
+    return ieo
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
         "p", "pinv", "r2", "mu", "r1", "r1_sh",
         "psi", "psi_sh", "ipsi_n", "ipsi_n_sh",
-        "brev", "tw", "tw_sh", "itw", "itw_sh",
+        "tw_mat", "tw_mat_sh", "itw_mat", "itw_mat_sh",
+        "tw1", "tw1_sh", "itw1", "itw1_sh",
+        "tw2", "tw2_sh", "itw2", "itw2_sh", "mxu",
     ],
-    meta_fields=["n", "logn"],
+    meta_fields=["n", "logn", "n1", "n2"],
 )
 @dataclasses.dataclass(frozen=True)
 class NttTables:
     """Per-prime-set NTT tables; a JAX pytree so jitted fns take it as an arg.
 
-    All arrays are uint32 except `brev` (int32).  Shapes: per-limb constants
-    (L,), psi tables (L, N), stage s twiddles (L, 2^(s-1)).
-    """
+    Shapes: per-limb constants (L,); psi/ipsi_n/tw_mat tables (L, N);
+    stage-s twiddles (L, 2^(s-1)) for the size-N1 (tw1) / size-N2 (tw2)
+    sub-transforms."""
     n: int
     logn: int
+    n1: int
+    n2: int
     p: jnp.ndarray
     pinv: jnp.ndarray
     r2: jnp.ndarray
@@ -61,30 +102,48 @@ class NttTables:
     psi_sh: jnp.ndarray
     ipsi_n: jnp.ndarray
     ipsi_n_sh: jnp.ndarray
-    brev: jnp.ndarray
-    tw: Tuple[jnp.ndarray, ...]
-    tw_sh: Tuple[jnp.ndarray, ...]
-    itw: Tuple[jnp.ndarray, ...]
-    itw_sh: Tuple[jnp.ndarray, ...]
+    tw_mat: jnp.ndarray
+    tw_mat_sh: jnp.ndarray
+    itw_mat: jnp.ndarray
+    itw_mat_sh: jnp.ndarray
+    tw1: Tuple[jnp.ndarray, ...]
+    tw1_sh: Tuple[jnp.ndarray, ...]
+    itw1: Tuple[jnp.ndarray, ...]
+    itw1_sh: Tuple[jnp.ndarray, ...]
+    tw2: Tuple[jnp.ndarray, ...]
+    tw2_sh: Tuple[jnp.ndarray, ...]
+    itw2: Tuple[jnp.ndarray, ...]
+    itw2_sh: Tuple[jnp.ndarray, ...]
+    mxu: object = None            # Optional MxuTables (ops/ntt_mxu.py)
 
     @property
     def num_limbs(self) -> int:
         return self.p.shape[0]
 
+    @property
+    def brev(self) -> jnp.ndarray:  # legacy alias: storage order table
+        return jnp.asarray(eval_order(self.n))
+
     def slice_limbs(self, lo: int, hi: int) -> "NttTables":
         """Tables restricted to limbs [lo, hi) — used for leveled CKKS ops."""
         take = lambda a: a[lo:hi]
         return NttTables(
-            n=self.n, logn=self.logn,
+            n=self.n, logn=self.logn, n1=self.n1, n2=self.n2,
             p=take(self.p), pinv=take(self.pinv), r2=take(self.r2),
             mu=take(self.mu), r1=take(self.r1), r1_sh=take(self.r1_sh),
             psi=take(self.psi), psi_sh=take(self.psi_sh),
             ipsi_n=take(self.ipsi_n), ipsi_n_sh=take(self.ipsi_n_sh),
-            brev=self.brev,
-            tw=tuple(take(t) for t in self.tw),
-            tw_sh=tuple(take(t) for t in self.tw_sh),
-            itw=tuple(take(t) for t in self.itw),
-            itw_sh=tuple(take(t) for t in self.itw_sh),
+            tw_mat=take(self.tw_mat), tw_mat_sh=take(self.tw_mat_sh),
+            itw_mat=take(self.itw_mat), itw_mat_sh=take(self.itw_mat_sh),
+            tw1=tuple(take(t) for t in self.tw1),
+            tw1_sh=tuple(take(t) for t in self.tw1_sh),
+            itw1=tuple(take(t) for t in self.itw1),
+            itw1_sh=tuple(take(t) for t in self.itw1_sh),
+            tw2=tuple(take(t) for t in self.tw2),
+            tw2_sh=tuple(take(t) for t in self.tw2_sh),
+            itw2=tuple(take(t) for t in self.itw2),
+            itw2_sh=tuple(take(t) for t in self.itw2_sh),
+            mxu=self.mxu.slice_limbs(lo, hi) if self.mxu is not None else None,
         )
 
 
@@ -92,8 +151,7 @@ def pow_series(base: int, n: int, p: int) -> np.ndarray:
     """[base^0, base^1, ..., base^(n-1)] mod p as uint32, vectorised.
 
     log2(n) numpy passes via binary exponent decomposition (p < 2**30 so
-    intermediate products fit uint64).
-    """
+    intermediate products fit uint64)."""
     out = np.ones(n, dtype=np.uint64)
     e = np.arange(n, dtype=np.uint64)
     sq = np.uint64(base % p)
@@ -112,10 +170,30 @@ def shoup_np(w: np.ndarray, p: int) -> np.ndarray:
     return ((w.astype(np.uint64) << np.uint64(32)) // np.uint64(p)).astype(np.uint32)
 
 
-def build_ntt_tables(primes, n: int, psis=None) -> NttTables:
-    """Host-side table construction (numpy / python ints)."""
+def _stage_tables(w_sub: int, size: int, p: int):
+    """Twiddle arrays for a size-`size` sub-NTT with primitive root w_sub:
+    stage s (m = 2^s) uses w_m^t = w_sub^((size/m)·t), t < m/2."""
+    logm = size.bit_length() - 1
+    tw, tw_sh = [], []
+    for s in range(1, logm + 1):
+        m = 1 << s
+        wm = pow(w_sub, size // m, p)
+        ts = pow_series(wm, m // 2, p)
+        tw.append(ts)
+        tw_sh.append(shoup_np(ts, p))
+    return tw, tw_sh
+
+
+def build_ntt_tables(primes, n: int, psis=None, use_mxu=None) -> NttTables:
+    """Host-side table construction (numpy / python ints).
+
+    use_mxu: attach int8 digit-plane matrices so ntt_fwd/ntt_inv run the
+    sub-transforms on the MXU (ops/ntt_mxu.py).  Default: enabled on TPU
+    backends for n >= 2048, disabled on CPU."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
+    n1, n2 = split_n(n)
+    b1 = n1.bit_length() - 1
     L = len(primes)
     for p in primes:
         assert p < (1 << 30), "framework requires primes < 2**30 for lazy headroom"
@@ -133,17 +211,29 @@ def build_ntt_tables(primes, n: int, psis=None) -> NttTables:
     r1_sh_a = np.array([mm.shoup(r, p) for r, p in zip(r1_l, primes)],
                        dtype=np.uint32)
 
-    psi_pows = np.empty((L, n), dtype=np.uint32)
-    psi_sh = np.empty((L, n), dtype=np.uint32)
-    ipsi_n = np.empty((L, n), dtype=np.uint32)
-    ipsi_n_sh = np.empty((L, n), dtype=np.uint32)
-    tw = [np.empty((L, 1 << (s - 1)), dtype=np.uint32) for s in range(1, logn + 1)]
-    tw_sh = [np.empty_like(t) for t in tw]
-    itw = [np.empty_like(t) for t in tw]
-    itw_sh = [np.empty_like(t) for t in tw]
+    br1 = np.array([nt.bit_reverse(i, b1) for i in range(n1)], np.int64)
+
+    psi_pows = np.empty((L, n), np.uint32)
+    psi_sh = np.empty((L, n), np.uint32)
+    ipsi_n = np.empty((L, n), np.uint32)
+    ipsi_n_sh = np.empty((L, n), np.uint32)
+    tw_mat = np.empty((L, n), np.uint32)
+    tw_mat_sh = np.empty((L, n), np.uint32)
+    itw_mat = np.empty((L, n), np.uint32)
+    itw_mat_sh = np.empty((L, n), np.uint32)
+    tw1 = [np.empty((L, 1 << (s - 1)), np.uint32) for s in range(1, b1 + 1)]
+    tw1_sh = [np.empty_like(t) for t in tw1]
+    itw1 = [np.empty_like(t) for t in tw1]
+    itw1_sh = [np.empty_like(t) for t in tw1]
+    b2 = n2.bit_length() - 1
+    tw2 = [np.empty((L, 1 << (s - 1)), np.uint32) for s in range(1, b2 + 1)]
+    tw2_sh = [np.empty_like(t) for t in tw2]
+    itw2 = [np.empty_like(t) for t in tw2]
+    itw2_sh = [np.empty_like(t) for t in tw2]
 
     for li, (p, psi) in enumerate(zip(primes, psis)):
         w = psi * psi % p
+        iw = pow(w, -1, p)
         ninv = pow(n, -1, p)
         ipsi = pow(psi, -1, p)
         pp = pow_series(psi, n, p)
@@ -152,66 +242,135 @@ def build_ntt_tables(primes, n: int, psis=None) -> NttTables:
         ip = pow_series(ipsi, n, p).astype(np.uint64) * np.uint64(ninv) % np.uint64(p)
         ipsi_n[li] = ip.astype(np.uint32)
         ipsi_n_sh[li] = shoup_np(ip, p)
-        for s in range(1, logn + 1):
-            m = 1 << s
-            wm = pow(w, n // m, p)
-            iwm = pow(wm, -1, p)
-            ts = pow_series(wm, m // 2, p)
-            its = pow_series(iwm, m // 2, p)
-            tw[s - 1][li] = ts
-            tw_sh[s - 1][li] = shoup_np(ts, p)
-            itw[s - 1][li] = its
-            itw_sh[s - 1][li] = shoup_np(its, p)
 
-    brev = np.array([nt.bit_reverse(i, logn) for i in range(n)], dtype=np.int32)
+        # cross twiddle: tw_mat[r·N2 + i2] = w^(i2 · br1(r))
+        wp = pow_series(w, n, p).astype(np.uint64)  # w^e for e < n
+        e = (np.arange(n2, dtype=np.int64)[None, :] * br1[:, None]) % n
+        tm = wp[e.reshape(-1)].astype(np.uint32)
+        tw_mat[li] = tm
+        tw_mat_sh[li] = shoup_np(tm, p)
+        iwp = pow_series(iw, n, p).astype(np.uint64)
+        itm = iwp[e.reshape(-1)].astype(np.uint32)
+        itw_mat[li] = itm
+        itw_mat_sh[li] = shoup_np(itm, p)
+
+        w1 = pow(w, n2, p)   # order n1
+        w2 = pow(w, n1, p)   # order n2
+        a, b = _stage_tables(w1, n1, p)
+        ia, ib = _stage_tables(pow(w1, -1, p), n1, p)
+        for s in range(b1):
+            tw1[s][li] = a[s]
+            tw1_sh[s][li] = b[s]
+            itw1[s][li] = ia[s]
+            itw1_sh[s][li] = ib[s]
+        a, b = _stage_tables(w2, n2, p)
+        ia, ib = _stage_tables(pow(w2, -1, p), n2, p)
+        for s in range(b2):
+            tw2[s][li] = a[s]
+            tw2_sh[s][li] = b[s]
+            itw2[s][li] = ia[s]
+            itw2_sh[s][li] = ib[s]
+
+    if use_mxu is None:
+        use_mxu = jax.default_backend() != "cpu" and n >= 2048
+    mxu = None
+    if use_mxu:
+        from . import ntt_mxu
+        mxu = ntt_mxu.build_mxu_tables(primes, n)
 
     j = jnp.asarray
     return NttTables(
-        n=n, logn=logn,
+        n=n, logn=logn, n1=n1, n2=n2, mxu=mxu,
         p=j(p_a), pinv=j(pinv_a), r2=j(r2_a), mu=j(mu_a),
         r1=j(r1_a), r1_sh=j(r1_sh_a),
         psi=j(psi_pows), psi_sh=j(psi_sh),
         ipsi_n=j(ipsi_n), ipsi_n_sh=j(ipsi_n_sh),
-        brev=j(brev),
-        tw=tuple(j(t) for t in tw), tw_sh=tuple(j(t) for t in tw_sh),
-        itw=tuple(j(t) for t in itw), itw_sh=tuple(j(t) for t in itw_sh),
+        tw_mat=j(tw_mat), tw_mat_sh=j(tw_mat_sh),
+        itw_mat=j(itw_mat), itw_mat_sh=j(itw_mat_sh),
+        tw1=tuple(j(t) for t in tw1), tw1_sh=tuple(j(t) for t in tw1_sh),
+        itw1=tuple(j(t) for t in itw1), itw1_sh=tuple(j(t) for t in itw1_sh),
+        tw2=tuple(j(t) for t in tw2), tw2_sh=tuple(j(t) for t in tw2_sh),
+        itw2=tuple(j(t) for t in itw2), itw2_sh=tuple(j(t) for t in itw2_sh),
     )
 
 
-def _stages(x, tws, tws_sh, p):
-    """Cooley-Tukey butterfly stages; x (..., L, N) bit-reversed in, natural out."""
-    shp = x.shape
-    n = shp[-1]
-    pb = p[:, None, None]
-    for s, (tw, tw_sh) in enumerate(zip(tws, tws_sh), start=1):
+def _gs_stages(y, tws, tws_sh, p):
+    """Gentleman-Sande (DIF) stages along axis -2 of (..., L, S, W):
+    natural order in, bit-reversed order out.  Twiddle s has shape (L, 2^(s-1))
+    and is consumed from the largest stage down."""
+    shp = y.shape
+    size = shp[-2]
+    pb = p[:, None, None, None]
+    for s in reversed(range(1, len(tws) + 1)):
         m = 1 << s
-        y = x.reshape(shp[:-1] + (n // m, m))
-        u = y[..., : m // 2]
-        v = y[..., m // 2:]
-        t = mm.shoup_mul(v, tw[:, None, :], tw_sh[:, None, :], pb)
-        x = jnp.concatenate(
-            [mm.add_mod(u, t, pb), mm.sub_mod(u, t, pb)], axis=-1
-        ).reshape(shp)
-    return x
+        z = y.reshape(shp[:-2] + (size // m, m, shp[-1]))
+        u = z[..., : m // 2, :]
+        v = z[..., m // 2:, :]
+        tw = tws[s - 1][:, None, :, None]
+        tw_sh = tws_sh[s - 1][:, None, :, None]
+        t = mm.shoup_mul(mm.sub_mod(u, v, pb), tw, tw_sh, pb)
+        y = jnp.concatenate([mm.add_mod(u, v, pb), t], axis=-2).reshape(shp)
+    return y
+
+
+def _ct_stages(y, tws, tws_sh, p):
+    """Cooley-Tukey (DIT) stages along axis -2: bit-reversed in, natural out."""
+    shp = y.shape
+    size = shp[-2]
+    pb = p[:, None, None, None]
+    for s in range(1, len(tws) + 1):
+        m = 1 << s
+        z = y.reshape(shp[:-2] + (size // m, m, shp[-1]))
+        u = z[..., : m // 2, :]
+        v = z[..., m // 2:, :]
+        tw = tws[s - 1][:, None, :, None]
+        tw_sh = tws_sh[s - 1][:, None, :, None]
+        t = mm.shoup_mul(v, tw, tw_sh, pb)
+        y = jnp.concatenate(
+            [mm.add_mod(u, t, pb), mm.sub_mod(u, t, pb)], axis=-2).reshape(shp)
+    return y
 
 
 def ntt_fwd(x, tb: NttTables):
-    """Coefficient domain -> NTT domain.  x: (..., L, N) uint32, values < p."""
+    """Coefficient domain -> NTT domain (storage order eval_order).
+    x: (..., L, N) uint32, values < p."""
+    if tb.mxu is not None:
+        from . import ntt_mxu
+        return ntt_mxu.ntt_fwd_mxu(x, tb, tb.mxu)
+    n1, n2 = tb.n1, tb.n2
+    lead = x.shape[:-1]
     p = tb.p[:, None]
     y = mm.shoup_mul(x, tb.psi, tb.psi_sh, p)
-    y = jnp.take(y, tb.brev, axis=-1)
-    return _stages(y, tb.tw, tb.tw_sh, tb.p)
+    y = y.reshape(lead + (n1, n2))
+    y = _gs_stages(y, tb.tw1, tb.tw1_sh, tb.p)
+    y = y.reshape(lead + (tb.n,))
+    y = mm.shoup_mul(y, tb.tw_mat, tb.tw_mat_sh, p)
+    y = jnp.swapaxes(y.reshape(lead + (n1, n2)), -1, -2)
+    y = _gs_stages(y, tb.tw2, tb.tw2_sh, tb.p)
+    return y.reshape(lead + (tb.n,))
 
 
 def ntt_inv(x, tb: NttTables):
-    """NTT domain -> coefficient domain."""
-    y = jnp.take(x, tb.brev, axis=-1)
-    y = _stages(y, tb.itw, tb.itw_sh, tb.p)
-    return mm.shoup_mul(y, tb.ipsi_n, tb.ipsi_n_sh, tb.p[:, None])
+    """NTT domain (storage order) -> coefficient domain."""
+    if tb.mxu is not None:
+        from . import ntt_mxu
+        return ntt_mxu.ntt_inv_mxu(x, tb, tb.mxu)
+    n1, n2 = tb.n1, tb.n2
+    lead = x.shape[:-1]
+    p = tb.p[:, None]
+    y = x.reshape(lead + (n2, n1))
+    y = _ct_stages(y, tb.itw2, tb.itw2_sh, tb.p)
+    y = jnp.swapaxes(y, -1, -2).reshape(lead + (tb.n,))
+    y = mm.shoup_mul(y, tb.itw_mat, tb.itw_mat_sh, p)
+    y = y.reshape(lead + (n1, n2))
+    y = _ct_stages(y, tb.itw1, tb.itw1_sh, tb.p)
+    y = y.reshape(lead + (tb.n,))
+    return mm.shoup_mul(y, tb.ipsi_n, tb.ipsi_n_sh, p)
 
 
 def ntt_naive_host(a, p: int, psi: int):
-    """O(N^2) reference for tests: evaluate at psi^(2j+1), python ints."""
+    """O(N^2) reference for tests: evaluations at psi^(2j+1) in NATURAL j
+    order, python ints.  Device NTT position p holds want[eval_order(n)[p]]."""
     n = len(a)
     out = []
     for j in range(n):

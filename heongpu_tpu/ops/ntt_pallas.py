@@ -1,0 +1,163 @@
+"""Fused Pallas TPU kernel for the four-step negacyclic NTT/INTT.
+
+The jnp stage path in ops/ntt.py materialises every butterfly stage through
+HBM (~2·log2(N) full-array passes per transform).  This kernel runs the whole
+transform per (poly, limb) row inside VMEM: one HBM read, one HBM write, all
+log2(N) butterfly stages + pre/cross/post scalings on registers/VMEM.
+
+Mapping (see ops/ntt.py for the math):
+  * grid = (rows,) where rows = batch·limbs; each program transforms one
+    length-N row viewed as (N1, N2): GS stages along axis 0 (sublane
+    butterflies, full-lane VPU ops) -> cross twiddle -> transpose ->
+    GS stages -> store.  No data permutations (NTT storage order).
+  * per-limb (N1, N2) tables are selected with index_map = row % L; the tiny
+    per-stage twiddle vectors live whole in VMEM and are row-indexed
+    dynamically.
+  * modmul = Shoup (mul_hi via 16-bit limb decomposition): ~7 int32
+    vector multiplies; everything stays uint32 in VMEM.
+
+This is the TPU analog of GPU-NTT's merged-radix shared-memory kernels
+(reference docs/technical_deep_dive.rst:18-33): VMEM plays the role of
+shared memory, sublane butterflies the role of the merged stages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import modmath as mm
+from . import ntt as nttm
+
+
+def _shoup(a, w, w_sh, p):
+    q = mm.mul_hi(a, w_sh)
+    r = a * w - q * p
+    return jnp.where(r >= p, r - p, r)
+
+
+def _gs_stages_2d(y, limb, tws, tws_sh, p):
+    """GS/DIF stages along axis 0 of (S, W); tws[s-1] ref shape (L, 2^(s-1))."""
+    size, w = y.shape
+    for s in reversed(range(1, len(tws) + 1)):
+        m = 1 << s
+        z = y.reshape(size // m, m, w)
+        u = z[:, : m // 2, :]
+        v = z[:, m // 2:, :]
+        tw = tws[s - 1][limb][None, :, None]
+        tw_sh = tws_sh[s - 1][limb][None, :, None]
+        add = u + v
+        add = jnp.where(add >= p, add - p, add)
+        sub = jnp.where(u >= v, u - v, (u + p) - v)
+        y = jnp.concatenate([add, _shoup(sub, tw, tw_sh, p)],
+                            axis=1).reshape(size, w)
+    return y
+
+
+def _ct_stages_2d(y, limb, tws, tws_sh, p):
+    """CT/DIT stages along axis 0 of (S, W)."""
+    size, w = y.shape
+    for s in range(1, len(tws) + 1):
+        m = 1 << s
+        z = y.reshape(size // m, m, w)
+        u = z[:, : m // 2, :]
+        v = z[:, m // 2:, :]
+        tw = tws[s - 1][limb][None, :, None]
+        tw_sh = tws_sh[s - 1][limb][None, :, None]
+        t = _shoup(v, tw, tw_sh, p)
+        add = u + t
+        add = jnp.where(add >= p, add - p, add)
+        sub = jnp.where(u >= t, u - t, (u + p) - t)
+        y = jnp.concatenate([add, sub], axis=1).reshape(size, w)
+    return y
+
+
+def _fwd_kernel(L, log1, log2, x_ref, p_ref, psi_ref, psi_sh_ref,
+                twm_ref, twm_sh_ref, *refs):
+    stage_refs, o_ref = refs[:-1], refs[-1]
+    limb = jax.lax.rem(pl.program_id(0), L)
+    p = p_ref[limb, 0]
+    tw1 = stage_refs[:log1]
+    tw1_sh = stage_refs[log1: 2 * log1]
+    tw2 = stage_refs[2 * log1: 2 * log1 + log2]
+    tw2_sh = stage_refs[2 * log1 + log2:]
+    y = _shoup(x_ref[0], psi_ref[0], psi_sh_ref[0], p)
+    y = _gs_stages_2d(y, limb, tw1, tw1_sh, p)
+    y = _shoup(y, twm_ref[0], twm_sh_ref[0], p)
+    y = y.T
+    y = _gs_stages_2d(y, limb, tw2, tw2_sh, p)
+    o_ref[0] = y
+
+
+def _inv_kernel(L, log1, log2, x_ref, p_ref, ipsi_ref, ipsi_sh_ref,
+                itwm_ref, itwm_sh_ref, *refs):
+    stage_refs, o_ref = refs[:-1], refs[-1]
+    limb = jax.lax.rem(pl.program_id(0), L)
+    p = p_ref[limb, 0]
+    itw1 = stage_refs[:log1]
+    itw1_sh = stage_refs[log1: 2 * log1]
+    itw2 = stage_refs[2 * log1: 2 * log1 + log2]
+    itw2_sh = stage_refs[2 * log1 + log2:]
+    y = x_ref[0]                                   # (N2, N1)
+    y = _ct_stages_2d(y, limb, itw2, itw2_sh, p)
+    y = y.T                                        # (N1, N2)
+    y = _shoup(y, itwm_ref[0], itwm_sh_ref[0], p)
+    y = _ct_stages_2d(y, limb, itw1, itw1_sh, p)
+    o_ref[0] = _shoup(y, ipsi_ref[0], ipsi_sh_ref[0], p)
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
+def ntt_pallas(x, tb: nttm.NttTables, inverse: bool = False,
+               interpret: bool = False):
+    """x: (..., L, N) uint32 -> same shape; fused single-kernel transform."""
+    n, n1, n2 = tb.n, tb.n1, tb.n2
+    log1 = n1.bit_length() - 1
+    log2 = n2.bit_length() - 1
+    L = tb.num_limbs
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+
+    if inverse:
+        kern = functools.partial(_inv_kernel, L, log1, log2)
+        # input rows are read in (N2, N1) view; big tables in matching views
+        xf = x.reshape(rows, n2, n1)
+        big = [tb.ipsi_n.reshape(L, n1, n2), tb.ipsi_n_sh.reshape(L, n1, n2),
+               tb.itw_mat.reshape(L, n1, n2), tb.itw_mat_sh.reshape(L, n1, n2)]
+        stages = (list(tb.itw1) + list(tb.itw1_sh) +
+                  list(tb.itw2) + list(tb.itw2_sh))
+        in_block = (1, n2, n1)
+        out_block = (1, n1, n2)
+    else:
+        kern = functools.partial(_fwd_kernel, L, log1, log2)
+        xf = x.reshape(rows, n1, n2)
+        big = [tb.psi.reshape(L, n1, n2), tb.psi_sh.reshape(L, n1, n2),
+               tb.tw_mat.reshape(L, n1, n2), tb.tw_mat_sh.reshape(L, n1, n2)]
+        stages = (list(tb.tw1) + list(tb.tw1_sh) +
+                  list(tb.tw2) + list(tb.tw2_sh))
+        in_block = (1, n1, n2)
+        out_block = (1, n2, n1)
+
+    limb_map = lambda r: (r % L, 0, 0)
+    in_specs = [pl.BlockSpec(in_block, lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec((1, n1, n2), limb_map, memory_space=pltpu.VMEM)
+                 for _ in big]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in stages]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(rows,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(out_block, lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows,) + out_block[1:], jnp.uint32),
+        interpret=interpret,
+    )(xf, tb.p.reshape(L, 1), *big, *stages)
+    return out.reshape(lead + (n,))

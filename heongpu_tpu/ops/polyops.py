@@ -51,12 +51,21 @@ def galois_perm_coeff(g: int, n: int):
 
 
 def galois_perm_ntt(g: int, n: int):
-    """Host: NTT-domain automorphism gather table: out[j] = in[perm[j]]."""
+    """Host: NTT-domain automorphism gather table in the framework's NTT
+    storage order (ops/ntt.py eval_order): out[p] = in[perm[p]].
+
+    In natural evaluation order sigma_g maps eval index j to source
+    j' = (g·(2j+1)-1)/2 mod n; storage positions compose with eval_order
+    (the reference's galois_permute_ntt_pql_kernel bakes the same
+    bit-reversal composition into its index formula, switchkey.cuh:163-168).
+    """
+    from . import ntt as nttm
     m = 2 * n
-    perm = np.empty(n, np.int32)
-    for j in range(n):
-        perm[j] = ((g * (2 * j + 1)) % m - 1) // 2
-    return jnp.asarray(perm)
+    eo = nttm.eval_order(n).astype(np.int64)
+    ieo = nttm.inv_eval_order(n).astype(np.int64)
+    j = eo                                   # natural eval index at position p
+    src_nat = ((g * (2 * j + 1)) % m - 1) // 2
+    return jnp.asarray(ieo[src_nat].astype(np.int32))
 
 
 def apply_galois_coeff(x, src, neg, p):

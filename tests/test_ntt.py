@@ -28,9 +28,11 @@ def test_vs_naive():
     x = np.stack([RNG.integers(0, p, size=n, dtype=np.uint32) for p in primes])
     got = np.asarray(ntt.ntt_fwd(jnp.asarray(x), tb))
     psis = [int(tb.psi[li, 1]) for li in range(len(primes))]
+    eo = ntt.eval_order(n)
     for li, (p, psi) in enumerate(zip(primes, psis)):
-        want = ntt.ntt_naive_host([int(v) for v in x[li]], p, psi)
-        np.testing.assert_array_equal(got[li], np.array(want, dtype=np.uint32))
+        want = np.array(ntt.ntt_naive_host([int(v) for v in x[li]], p, psi),
+                        dtype=np.uint32)
+        np.testing.assert_array_equal(got[li], want[eo])
 
 
 def test_negacyclic_convolution():

@@ -1,0 +1,56 @@
+"""huint arithmetic over TFHE gate bootstrapping (reference README.md:52-66
+advertised huint8..256 types; Kogge-Stone batched adder)."""
+
+import numpy as np
+import pytest
+
+from heongpu_tpu.models import tfhe, tfhe_int
+from heongpu_tpu.utils import rng
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = tfhe.make_context()
+    sk = tfhe.keygen_secret(rng.new_key(41))
+    bk = tfhe.keygen_boot(ctx, rng.new_key(42), sk)
+    return ctx, sk, bk
+
+
+def test_huint8_add(setup):
+    ctx, sk, bk = setup
+    R = np.random.default_rng(5)
+    xs = R.integers(0, 256, 3)
+    ys = R.integers(0, 256, 3)
+    hx = tfhe_int.encrypt_huint(ctx, sk, xs, 8, rng.new_key(43))
+    hy = tfhe_int.encrypt_huint(ctx, sk, ys, 8, rng.new_key(44))
+    hs, cout = tfhe_int.add(ctx, bk, hx, hy)
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_huint(ctx, sk, hs).astype(np.int64), (xs + ys) % 256)
+    np.testing.assert_array_equal(
+        tfhe.decrypt(ctx, sk, cout).astype(np.int64), (xs + ys) >> 8)
+
+
+def test_huint8_sub(setup):
+    ctx, sk, bk = setup
+    R = np.random.default_rng(6)
+    xs = R.integers(0, 256, 2)
+    ys = R.integers(0, 256, 2)
+    hx = tfhe_int.encrypt_huint(ctx, sk, xs, 8, rng.new_key(45))
+    hy = tfhe_int.encrypt_huint(ctx, sk, ys, 8, rng.new_key(46))
+    hd, noborrow = tfhe_int.sub(ctx, bk, hx, hy)
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_huint(ctx, sk, hd).astype(np.int64), (xs - ys) % 256)
+    np.testing.assert_array_equal(
+        tfhe.decrypt(ctx, sk, noborrow).astype(np.int64),
+        (xs >= ys).astype(np.int64))
+
+
+def test_huint16_roundtrip_and_rounds(setup):
+    ctx, sk, bk = setup
+    xs = np.array([40000, 123])
+    hx = tfhe_int.encrypt_huint(ctx, sk, xs, 16, rng.new_key(47))
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_huint(ctx, sk, hx).astype(np.int64), xs)
+    # round count formula: 2 + 2*log2(W) + 1
+    assert tfhe_int.bootstrap_rounds(8) == 9
+    assert tfhe_int.bootstrap_rounds(256) == 19
