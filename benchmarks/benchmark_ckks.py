@@ -1,0 +1,85 @@
+"""Per-op CKKS timing table (reference benchmark/benchmark_ckks.cpp:16-33:
+encode/encrypt/add/multiply/relinearize/rescale/rotate/decrypt at
+N in {4096..65536})."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), '..')))
+
+import argparse
+import time
+
+import numpy as np
+import jax
+
+from heongpu_tpu.models import ckks
+from heongpu_tpu.utils import rng
+
+
+def bench_fn(f, *args, iters=10):
+    o = f(*args)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f(*args)
+    jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def run(n, nq, ks_type="II", alpha=4, iters=10):
+    if ks_type == "I":
+        alpha = 1
+    ctx = ckks.make_context(n, [29] * nq, sec_level="none", ks_type=ks_type,
+                            alpha=alpha)
+    sk = ckks.keygen_secret(ctx, rng.new_key())
+    pk = ckks.keygen_public(ctx, rng.new_key(), sk)
+    rk = ckks.keygen_relin(ctx, rng.new_key(), sk)
+    gk = ckks.keygen_galois(ctx, rng.new_key(), sk, steps=[1])
+    z = np.linspace(-1, 1, n // 2)
+
+    t_enc = time.perf_counter()
+    pt = ckks.encode(ctx, z)
+    t_enc = (time.perf_counter() - t_enc) * 1e3
+    ct1 = ckks.encrypt(ctx, pk, pt, rng.new_key())
+    ct2 = ckks.encrypt(ctx, pk, pt, rng.new_key())
+    g1 = list(gk.keys.values())[0]
+
+    encrypt = jax.jit(lambda m, k: ckks.encrypt(ctx, pk, ckks.Plaintext(m, 0,
+                      ctx.default_scale), k).c)
+    add = jax.jit(lambda a, b: ckks.add(ctx, ct1, ckks.Ciphertext(b, 2, 0,
+                  ct1.scale)).c)
+    mult = jax.jit(lambda a, b: ckks.multiply(
+        ctx, ckks.Ciphertext(a, 2, 0, ct1.scale),
+        ckks.Ciphertext(b, 2, 0, ct1.scale)).c)
+    mult_relin = jax.jit(lambda a, b: ckks.relinearize(ctx, ckks.multiply(
+        ctx, ckks.Ciphertext(a, 2, 0, ct1.scale),
+        ckks.Ciphertext(b, 2, 0, ct1.scale)), rk).c)
+    resc = jax.jit(lambda a: ckks.rescale(ctx, ckks.Ciphertext(
+        a, 2, 0, ct1.scale)).c)
+    rot = jax.jit(lambda a: ckks.apply_galois(ctx, ckks.Ciphertext(
+        a, 2, 0, ct1.scale), g1).c)
+    dec = jax.jit(lambda a: ckks.decrypt(ctx, sk, ckks.Ciphertext(
+        a, 2, 0, ct1.scale)).m)
+
+    rows = {
+        "encrypt": bench_fn(encrypt, pt.m, rng.new_key(), iters=iters),
+        "add": bench_fn(add, ct1.c, ct2.c, iters=iters),
+        "multiply": bench_fn(mult, ct1.c, ct2.c, iters=iters),
+        "mult+relin": bench_fn(mult_relin, ct1.c, ct2.c, iters=iters),
+        "rescale": bench_fn(resc, ct1.c, iters=iters),
+        "rotate": bench_fn(rot, ct1.c, iters=iters),
+        "decrypt": bench_fn(dec, ct1.c, iters=iters),
+    }
+    print(f"\nCKKS N={n}, {nq} limbs, METHOD_{ks_type} alpha={alpha} "
+          f"(encode host: {t_enc:.2f} ms)")
+    for k, v in rows.items():
+        print(f"  {k:12s} {v:9.3f} ms")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="4096,16384,65536")
+    ap.add_argument("--ks", default="II")
+    args = ap.parse_args()
+    for n in [int(s) for s in args.sizes.split(",")]:
+        nq = {4096: 3, 8192: 5, 16384: 8, 32768: 10, 65536: 12}.get(n, 4)
+        run(n, nq, ks_type=args.ks)

@@ -1,0 +1,61 @@
+"""TFHE gate + huint benchmark (reference benchmark/benchmark_tfhe.cpp:29-70
+per-gate averages; README.md:55-67 huint add table)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), '..')))
+
+import argparse
+import time
+
+import numpy as np
+import jax
+
+from heongpu_tpu.models import tfhe, tfhe_int
+from heongpu_tpu.utils import rng
+
+
+def main(widths, batch, reps):
+    ctx = tfhe.make_context()
+    sk = tfhe.keygen_secret(rng.new_key())
+    bk = tfhe.keygen_boot(ctx, rng.new_key(), sk)
+
+    R = np.random.default_rng(0)
+    b1 = R.integers(0, 2, batch)
+    b2 = R.integers(0, 2, batch)
+    c1 = tfhe.encrypt(ctx, sk, b1, rng.new_key())
+    c2 = tfhe.encrypt(ctx, sk, b2, rng.new_key())
+    print(f"TFHE STD128, gate batch B={batch}")
+    for name, fn in [("NAND", tfhe.NAND), ("AND", tfhe.AND), ("OR", tfhe.OR),
+                     ("XOR", tfhe.XOR)]:
+        g = jax.jit(lambda a, b, fn=fn: fn(ctx, bk, a, b))
+        o = g(c1, c2)
+        jax.block_until_ready(o.b)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = g(c1, c2)
+        jax.block_until_ready(o.b)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"  {name:5s} {dt*1e3:8.1f} ms  ({dt/batch*1e6:8.1f} us/gate amortized)")
+
+    for w in widths:
+        xs = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
+        ys = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
+        hx = tfhe_int.encrypt_huint(ctx, sk, xs, w, rng.new_key())
+        hy = tfhe_int.encrypt_huint(ctx, sk, ys, w, rng.new_key())
+        hs, _ = tfhe_int.add(ctx, bk, hx, hy)
+        jax.block_until_ready(hs.bits.b)
+        t0 = time.perf_counter()
+        hs, _ = tfhe_int.add(ctx, bk, hx, hy)
+        jax.block_until_ready(hs.bits.b)
+        dt = time.perf_counter() - t0
+        print(f"  huint{w:<3d} add {dt*1e3:8.1f} ms  "
+              f"({tfhe_int.bootstrap_rounds(w)} batched blind-rotation rounds)")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--widths", default="8,16,32")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+    main([int(w) for w in args.widths.split(",")], args.batch, args.reps)

@@ -333,6 +333,39 @@ def encode(ctx: CkksContext, values, scale: Optional[float] = None,
     return Plaintext(m_ntt, level, scale)
 
 
+def encode_coeff(ctx: CkksContext, values, scale: Optional[float] = None,
+                 level: int = 0) -> Plaintext:
+    """COEFFICIENT-mode encoding (reference encoding::COEFFICIENT,
+    util/schemes.h:129-133): up to n real values placed directly as
+    polynomial coefficients (no canonical embedding)."""
+    scale = float(scale or ctx.default_scale)
+    v = np.zeros(ctx.n, np.float64)
+    vv = np.asarray(values, np.float64)
+    v[: vv.size] = vv
+    coeffs = np.round(v * scale).astype(object)
+    ka = ctx.active(level)
+    res = np.empty((ka, ctx.n), np.uint32)
+    for i, q in enumerate(ctx.q_primes[:ka]):
+        res[i] = (coeffs % q).astype(np.uint64).astype(np.uint32)
+    m_ntt = nttm.ntt_fwd(jnp.asarray(res), ctx.ntt_q(level))
+    return Plaintext(m_ntt, level, scale)
+
+
+def decode_coeff(ctx: CkksContext, pt: Plaintext) -> np.ndarray:
+    """COEFFICIENT-mode decoding: n real coefficient values."""
+    ka = ctx.active(pt.level)
+    coeffs = np.asarray(nttm.ntt_inv(pt.m, ctx.ntt_q(pt.level)))
+    primes = [int(q) for q in ctx.q_primes[:ka]]
+    Q = _prod(primes)
+    acc = np.zeros(ctx.n, object)
+    for i, q in enumerate(primes):
+        Mi = Q // q
+        acc += coeffs[i].astype(object) * ((pow(Mi, -1, q) * Mi) % Q)
+    acc %= Q
+    acc = np.where(acc >= Q // 2, acc - Q, acc)
+    return (acc / pt.scale).astype(np.float64)
+
+
 def decode(ctx: CkksContext, pt: Plaintext) -> np.ndarray:
     """Plaintext -> n/2 complex slot values."""
     ka = ctx.active(pt.level)

@@ -90,9 +90,14 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
       at levels 0..p1-1 after the mod-raise; no trailing StoC."""
     assert ctx.ks_type == "I"
     cfg = cfg or BootConfigV2()
-    msg_scale = float(msg_scale or ctx.default_scale)
     n = ctx.n
     q0 = int(ctx.q_primes[0])
+    if msg_scale is None:
+        # bit/gate payloads are encoded at the ePrint 2024/767 scales; the
+        # CtoS fold must be built against the actual input scale
+        msg_scale = {"bit": q0 / 2.0, "gate": q0 / 3.0}.get(
+            variant, ctx.default_scale)
+    msg_scale = float(msg_scale)
     r = cfg.double_angles
     # t0 slots = f_fold*2*(raw coeff)/Δ must equal (2π·raw/q0)/(2^r·R)
     f_ctos = (2 * math.pi * msg_scale / ((1 << r) * q0 * cfg.R)) / 2

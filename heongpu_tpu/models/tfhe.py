@@ -53,7 +53,7 @@ MU = np.uint32(1 << 29)  # 1/8 of the torus
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ntt", "p1p2_mod32", "p1p2_half_hi", "p1p2_half_lo",
-                 "p1_inv_p2", "p1_inv_p2_sh", "offset"],
+                 "p1_inv_p2", "p1_inv_p2_sh", "offset", "omega_bits"],
     meta_fields=["n", "N", "k", "l", "bg_bit", "ks_base_bit", "ks_length",
                  "primes"],
 )
@@ -74,6 +74,27 @@ class TfheContext:
     p1_inv_p2: jnp.ndarray       # () p1^{-1} mod p2
     p1_inv_p2_sh: jnp.ndarray
     offset: jnp.ndarray          # () gadget decomposition offset
+    omega_bits: jnp.ndarray      # (11, 2, N) mont NTT-domain X^(2^t) tables
+
+
+def _omega_bit_tables(ntt: nttm.NttTables, N: int) -> jnp.ndarray:
+    """NTT-domain (Montgomery form) values of the monomials X^(2^t),
+    t = 0..log2(2N)-1: table[t, l, pos] = psi_l^((2*eo[pos]+1)*2^t mod 2N)*R.
+    Multiplying by X^amt becomes a product of <= 11 selected tables — the
+    gather-free form of the blind-rotation's data-dependent rotation."""
+    psi_host = np.asarray(ntt.psi).astype(np.uint64)      # (2, N) psi^i
+    primes = np.asarray(np.asarray(ntt.p), np.uint64)
+    eo = nttm.eval_order(N).astype(np.int64)
+    bits = (2 * N).bit_length() - 1                        # 11 for N=1024
+    out = np.empty((bits, 2, N), np.uint64)
+    for t in range(bits):
+        e = ((2 * eo + 1) * (1 << t)) % (2 * N)
+        wrap = e >= N
+        idx = np.where(wrap, e - N, e)
+        v = psi_host[:, idx]
+        v = np.where(wrap[None, :], primes[:, None] - v, v)
+        out[t] = v * (np.uint64(1) << 32) % primes[:, None]   # to Montgomery
+    return jnp.asarray(out.astype(np.uint32))
 
 
 def make_context() -> TfheContext:
@@ -82,16 +103,18 @@ def make_context() -> TfheContext:
     P = p1 * p2
     inv = pow(p1, -1, p2)
     offset = sum((BG // 2) << (32 - (p + 1) * BG_BIT) for p in range(BK_L)) % (1 << 32)
+    ntt = nttm.build_ntt_tables(primes, TRLWE_N)
     return TfheContext(
         n=LWE_N, N=TRLWE_N, k=TRLWE_K, l=BK_L, bg_bit=BG_BIT,
         ks_base_bit=KS_BASE_BIT, ks_length=KS_LENGTH, primes=tuple(primes),
-        ntt=nttm.build_ntt_tables(primes, TRLWE_N),
+        ntt=ntt,
         p1p2_mod32=jnp.uint32(P % (1 << 32)),
         p1p2_half_hi=jnp.uint32((P // 2) >> 32),
         p1p2_half_lo=jnp.uint32((P // 2) & 0xFFFFFFFF),
         p1_inv_p2=jnp.uint32(inv),
         p1_inv_p2_sh=jnp.uint32(mm.shoup(inv, p2)),
         offset=jnp.uint32(offset),
+        omega_bits=_omega_bit_tables(ntt, TRLWE_N),
     )
 
 
@@ -288,8 +311,9 @@ def _signed_to_rns(ctx: TfheContext, d):
     return jnp.where(neg[..., None, :], jnp.where(mag == 0, mag, p - mag), mag)
 
 
-def _external_product(ctx: TfheContext, bk_i, d):
-    """TGSW (NTT+mont, (B?,rows,comp,2,N)) ⊡ TRLWE diff d (B,comp,N) torus."""
+def _external_product_ntt(ctx: TfheContext, bk_i, d):
+    """TGSW (NTT+mont, (rows,comp,2,N)) ⊡ TRLWE diff d (B,comp,N) torus.
+    Returns the product in the RNS-NTT domain (no inverse transform)."""
     digs = _decompose(ctx, d)                             # (B, rows, N) int32
     dr = _signed_to_rns(ctx, digs)                        # (B, rows, 2, N)
     D = nttm.ntt_fwd(dr, ctx.ntt)
@@ -299,8 +323,29 @@ def _external_product(ctx: TfheContext, bk_i, d):
     acc = prod[:, 0]
     for r in range(1, prod.shape[1]):
         acc = mm.add_mod(acc, prod[:, r], p)
-    c = nttm.ntt_inv(acc, ctx.ntt)                        # (B, comp, 2, N)
+    return acc                                            # (B, comp, 2, N)
+
+
+def _external_product(ctx: TfheContext, bk_i, d):
+    """TGSW ⊡ TRLWE diff, back in the torus domain."""
+    c = nttm.ntt_inv(_external_product_ntt(ctx, bk_i, d), ctx.ntt)
     return _rns_to_torus(ctx, c)                          # (B, comp, N)
+
+
+def _omega_mont(ctx: TfheContext, amt):
+    """NTT-domain Montgomery form of X^amt per batch element, built as a
+    product of the bit tables (no gathers): amt (B,) int32 in [0, 2N)."""
+    p = ctx.ntt.p[:, None]
+    pinv = ctx.ntt.pinv[:, None]
+    r1 = ctx.ntt.r1[:, None]
+    B = amt.shape[0]
+    w = jnp.broadcast_to(r1[None], (B, 2, ctx.N))         # mont(1)
+    bits = ctx.omega_bits.shape[0]
+    for t in range(bits):
+        sel = ((amt >> t) & 1).astype(jnp.bool_)[:, None, None]
+        wt = mm.mont_mul(w, ctx.omega_bits[t][None], p, pinv)
+        w = jnp.where(sel, wt, w)
+    return w
 
 
 def _modswitch(x, N):
@@ -309,30 +354,56 @@ def _modswitch(x, N):
     return ((x + (jnp.uint32(1) << (sh - 1))) >> sh).astype(jnp.int32)
 
 
+_RENORM = 8  # CMux steps between torus renormalisations of the accumulator
+
+
 @jax.jit
 def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
     """Blind rotation + sample extract + keyswitch for a batch of LWEs whose
     phase sign encodes the bit; returns fresh LWEs with payload ±mu.
 
     Reference analog: HELogicOperator<TFHE>::bootstrapping + key_switching
-    (operator.cu:200-294), restructured as one fori_loop over the n CMux
-    steps with everything batched over gates."""
+    (operator.cu:200-294), restructured TPU-first:
+      * one fori_loop over the n CMux steps, everything batched over gates;
+      * the accumulator lives in the RNS-NTT domain, the data-dependent
+        rotation X^a_i is a product of precomputed bit-monomial tables
+        (gather-free; TPU gathers were 5x the cost of everything else);
+      * the accumulator's *integer* representative grows by one external
+        product per step (<= 2^52), so every _RENORM steps it is pulled back
+        to the torus (mod 2^32) — the CRT pair (~2^58) gives exact headroom.
+    """
     B = ct.a.shape[0]
     N = ctx.N
-    # test vector: all-mu constant polynomial row
+    p = ctx.ntt.p[:, None]
+    pinv = ctx.ntt.pinv[:, None]
+    # test vector: all-mu constant polynomial row, rotated by X^{-b}
     testv = jnp.broadcast_to(MU, (B, N)).astype(U32)
     b_t = _modswitch(ct.b, N)                             # (B,)
-    acc_b = _negacyclic_rotate_batch(testv[:, None, :], (2 * N - b_t) % (2 * N), N)
-    acc = jnp.concatenate([jnp.zeros((B, 1, N), U32), acc_b], axis=1)  # (B,2,N)
+    zero = jnp.zeros((B, 1, N), U32)
+    acc_t = jnp.concatenate([zero, testv[:, None, :]], axis=1)    # (B,2,N)
+    acc = nttm.ntt_fwd(_torus_to_rns(ctx, acc_t), ctx.ntt)        # (B,2,2,N)
+    w_b = _omega_mont(ctx, (2 * N - b_t) % (2 * N))
+    acc = mm.mont_mul(acc, w_b[:, None], p, pinv)
     a_t = _modswitch(ct.a, N)                             # (B, n)
 
-    def body(i, acc):
-        rot = _negacyclic_rotate_batch(acc, a_t[:, i] % (2 * N), N)
-        d = rot - acc                                     # uint32 wrap
-        ext = _external_product(ctx, bk.bk[i], d)
-        return acc + ext
+    def renorm(acc):
+        return nttm.ntt_fwd(
+            _torus_to_rns(ctx, _rns_to_torus(ctx, nttm.ntt_inv(acc, ctx.ntt))),
+            ctx.ntt)
 
-    acc = jax.lax.fori_loop(0, ctx.n, body, acc)
+    def outer(o, acc):
+        for j in range(_RENORM):
+            i = o * _RENORM + j
+            w = _omega_mont(ctx, a_t[:, i] % (2 * N))     # (B, 2, N) mont
+            rot = mm.mont_mul(acc, w[:, None], p, pinv)
+            diff = mm.sub_mod(rot, acc, p)
+            d_t = _rns_to_torus(ctx, nttm.ntt_inv(diff, ctx.ntt))
+            ext = _external_product_ntt(ctx, bk.bk[i], d_t)
+            acc = mm.add_mod(acc, ext, p)
+        return renorm(acc)
+
+    acc = jax.lax.fori_loop(0, ctx.n // _RENORM, outer, acc)
+    acc = _rns_to_torus(ctx, nttm.ntt_inv(acc, ctx.ntt))  # (B, 2, N) torus
 
     # sample extract at coefficient 0
     a_poly = acc[:, 0, :]
