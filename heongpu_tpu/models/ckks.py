@@ -315,6 +315,21 @@ def _slots_from_embed_coeffs(ctx: CkksContext, a: np.ndarray) -> np.ndarray:
     return spec[_slot_eval_nat(n)]
 
 
+def coeffs_to_rns(a: np.ndarray, primes) -> np.ndarray:
+    """Rounded float coefficients -> RNS residues; int64 fast path when the
+    magnitudes allow, exact object-int path otherwise."""
+    res = np.empty((len(primes), a.shape[-1]), np.uint32)
+    if a.size and np.max(np.abs(a)) < 2 ** 62:
+        c = np.round(a).astype(np.int64)
+        for i, q in enumerate(primes):
+            res[i] = (c % int(q)).astype(np.uint32)
+    else:
+        c = np.round(a).astype(object)
+        for i, q in enumerate(primes):
+            res[i] = (c % int(q)).astype(np.uint64).astype(np.uint32)
+    return res
+
+
 def encode(ctx: CkksContext, values, scale: Optional[float] = None,
            level: int = 0) -> Plaintext:
     """values: up to n/2 real or complex numbers."""
@@ -324,11 +339,8 @@ def encode(ctx: CkksContext, values, scale: Optional[float] = None,
     v = np.asarray(values)
     z[: v.size] = v
     a = _embed_coeffs_from_slots(ctx, z) * scale
-    coeffs = np.round(a).astype(object)
     ka = ctx.active(level)
-    res = np.empty((ka, ctx.n), np.uint32)
-    for i, q in enumerate(ctx.q_primes[:ka]):
-        res[i] = (coeffs % q).astype(np.uint64).astype(np.uint32)
+    res = coeffs_to_rns(a, ctx.q_primes[:ka])
     m_ntt = nttm.ntt_fwd(jnp.asarray(res), ctx.ntt_q(level))
     return Plaintext(m_ntt, level, scale)
 
@@ -342,11 +354,8 @@ def encode_coeff(ctx: CkksContext, values, scale: Optional[float] = None,
     v = np.zeros(ctx.n, np.float64)
     vv = np.asarray(values, np.float64)
     v[: vv.size] = vv
-    coeffs = np.round(v * scale).astype(object)
     ka = ctx.active(level)
-    res = np.empty((ka, ctx.n), np.uint32)
-    for i, q in enumerate(ctx.q_primes[:ka]):
-        res[i] = (coeffs % q).astype(np.uint64).astype(np.uint32)
+    res = coeffs_to_rns(v * scale, ctx.q_primes[:ka])
     m_ntt = nttm.ntt_fwd(jnp.asarray(res), ctx.ntt_q(level))
     return Plaintext(m_ntt, level, scale)
 

@@ -191,13 +191,9 @@ def _encode_diag_qtilde(ctx: CkksContext, vec: np.ndarray, level: int,
     """Encode slot vector over the extended basis Q̃ (active Q limbs + P):
     host canonical embedding -> rounded integers -> residues (numpy)."""
     a = ckks._embed_coeffs_from_slots(ctx, vec) * scale
-    coeffs = np.round(a).astype(object)
     ka = ctx.active(level)
     limbs = list(ctx.q_primes[:ka]) + list(ctx.p_primes)
-    res = np.empty((len(limbs), ctx.n), np.uint32)
-    for i, q in enumerate(limbs):
-        res[i] = (coeffs % q).astype(np.uint64).astype(np.uint32)
-    return res
+    return ckks.coeffs_to_rns(a, limbs)
 
 
 def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,

@@ -231,17 +231,26 @@ def build_ntt_tables(primes, n: int, psis=None, use_mxu=None) -> NttTables:
     itw2 = [np.empty_like(t) for t in tw2]
     itw2_sh = [np.empty_like(t) for t in tw2]
 
+    from ..utils import native
+    use_native = native.available()
+
     for li, (p, psi) in enumerate(zip(primes, psis)):
         w = psi * psi % p
         iw = pow(w, -1, p)
-        ninv = pow(n, -1, p)
-        ipsi = pow(psi, -1, p)
-        pp = pow_series(psi, n, p)
-        psi_pows[li] = pp
-        psi_sh[li] = shoup_np(pp, p)
-        ip = pow_series(ipsi, n, p).astype(np.uint64) * np.uint64(ninv) % np.uint64(p)
-        ipsi_n[li] = ip.astype(np.uint32)
-        ipsi_n_sh[li] = shoup_np(ip, p)
+        if use_native:
+            a, b, c, d = native.psi_tables(psi, n, p)
+            psi_pows[li], psi_sh[li], ipsi_n[li], ipsi_n_sh[li] = a, b, c, d
+            pp = a
+        else:
+            ninv = pow(n, -1, p)
+            ipsi = pow(psi, -1, p)
+            pp = pow_series(psi, n, p)
+            psi_pows[li] = pp
+            psi_sh[li] = shoup_np(pp, p)
+            ip = (pow_series(ipsi, n, p).astype(np.uint64)
+                  * np.uint64(ninv) % np.uint64(p))
+            ipsi_n[li] = ip.astype(np.uint32)
+            ipsi_n_sh[li] = shoup_np(ip, p)
 
         # cross twiddle: tw_mat[r·N2 + i2] = w^(i2 · br1(r))
         wp = pow_series(w, n, p).astype(np.uint64)  # w^e for e < n

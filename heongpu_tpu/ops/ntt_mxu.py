@@ -93,8 +93,9 @@ def _mat_planes(mat: np.ndarray, p: int) -> np.ndarray:
     S = mat.shape[0]
     out = np.zeros((4 * S, 4 * S), np.int8)
     for k in range(4):
-        mk = (mat.astype(object) * ((1 << (8 * k)) % p)) % p
-        digs = _signed_digits_np(mk.astype(np.uint64))        # (4, S, S)
+        # mat < 2^30 and the scaled weight < 2^30, so the product fits uint64
+        mk = (mat.astype(np.uint64) * np.uint64((1 << (8 * k)) % p)) % np.uint64(p)
+        digs = _signed_digits_np(mk)                          # (4, S, S)
         for l in range(4):
             out[l * S:(l + 1) * S, k * S:(k + 1) * S] = digs[l]
     return out

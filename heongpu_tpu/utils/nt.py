@@ -46,9 +46,13 @@ def generate_ntt_primes(bit_size: int, count: int, n: int,
     """Generate `count` primes p with p ≡ 1 (mod 2n), p < 2**bit_size.
 
     Mirrors HEonGPU generate_proper_primes (util.cu) but constrained to
-    bit_size ≤ 31 for uint32 device lanes.
+    bit_size ≤ 31 for uint32 device lanes.  Uses the native C++ engine
+    (utils/native.py) when available; both paths are bit-identical.
     """
     assert bit_size <= 31, "TPU uint32 lanes require primes < 2**31"
+    from . import native
+    if native.available():
+        return native.generate_ntt_primes(bit_size, count, n, exclude)
     m = 2 * n
     exclude = exclude or set()
     out: List[int] = []
@@ -100,7 +104,11 @@ def root_of_unity(order: int, p: int) -> int:
 
 
 def minimal_primitive_root_2n(n2: int, p: int) -> int:
-    """Smallest primitive 2n-th root of unity mod p (deterministic tables)."""
+    """Smallest primitive 2n-th root of unity mod p (deterministic tables).
+    Native C++ fast path when available (bit-identical)."""
+    from . import native
+    if native.available():
+        return native.minimal_primitive_root_2n(n2, p)
     w = root_of_unity(n2, p)
     # all primitive roots are w^k for odd k coprime to 2n; take the minimum of a few
     best = w
