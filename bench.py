@@ -2,6 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measured as a chain of ops inside one jitted program (lax.fori_loop), the way
+production pipelines compose — per-call Python pytree-flattening overhead is
+excluded, device execution is what's timed.
+
 Baseline note: HEonGPU publishes no direct mult+relin ops/s table; its
 benchmark binaries print local timings.  We anchor vs_baseline to an
 RTX-4090-class estimate of 500 ops/s (2 ms per N=2^16 multiply+relinearize,
@@ -26,7 +30,7 @@ def main():
 
     n = 4096 if small else 65536
     nq = 4 if small else 12
-    q_bits = [29] + [29] * (nq - 1)
+    q_bits = [29] * nq
 
     ctx = ckks.make_context(n, q_bits, sec_level="none", ks_type="II", alpha=4)
     sk = ckks.keygen_secret(ctx, rng.new_key(1))
@@ -37,23 +41,27 @@ def main():
     ct1 = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(4))
     ct2 = ckks.encrypt(ctx, pk, ckks.encode(ctx, z[::-1].copy()), rng.new_key(5))
 
+    K = 4 if small else 10
+
     @jax.jit
-    def mult_relin(c1, c2, k0, k1):
-        a = ckks.Ciphertext(c1, 2, 0, ctx.default_scale)
-        b = ckks.Ciphertext(c2, 2, 0, ctx.default_scale)
-        return ckks.relinearize(ctx, ckks.multiply(ctx, a, b),
-                                ckks.KSKey(k0, k1)).c
+    def chain(c1, c2, k0, k1):
+        def body(i, c):
+            a = ckks.Ciphertext(c, 2, 0, ctx.default_scale)
+            b = ckks.Ciphertext(c2, 2, 0, ctx.default_scale)
+            return ckks.relinearize(ctx, ckks.multiply(ctx, a, b),
+                                    ckks.KSKey(k0, k1)).c
+        return jax.lax.fori_loop(0, K, body, c1)
 
     # warmup/compile
-    out = mult_relin(ct1.c, ct2.c, rk.k0, rk.k1)
+    out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
     out.block_until_ready()
 
-    iters = 3 if small else 10
+    reps = 2 if small else 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = mult_relin(ct1.c, ct2.c, rk.k0, rk.k1)
+    for _ in range(reps):
+        out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (reps * K)
     ops_s = 1.0 / dt
 
     print(json.dumps({

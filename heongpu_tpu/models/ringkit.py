@@ -231,15 +231,11 @@ def hoisted_mac(d_ntt, k0, k1, base_qp: rns.Base):
     """Phase 2: the hot inner product Σ_d digit×ksk over Q̃ (NTT domain).
     Returns the P-scaled pair (acc0, acc1) *before* the ÷P step — TPU analog
     of keyswitch_multiply_accumulate_kernel (reference kernel/switchkey.cu:61).
-    """
-    p, pinv, _, mu, r1, r1sh = base_qp.bview()
-    t0 = mm.mont_mul(d_ntt, k0, p, pinv)
-    t1 = mm.mont_mul(d_ntt, k1, p, pinv)
-    hi0, lo0 = rns.sum_u32_axis64(t0, axis=-3)
-    hi1, lo1 = rns.sum_u32_axis64(t1, axis=-3)
-    acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
-    acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
-    return acc0, acc1
+
+    Lazy accumulation: the raw 64-bit products d·(k·R) are summed exactly as
+    (hi, lo) pairs with no per-term reduction (ops/rns.py lazy_mac_mont)."""
+    return (rns.lazy_mac_mont(d_ntt, k0, base_qp),
+            rns.lazy_mac_mont(d_ntt, k1, base_qp))
 
 
 def ks_finish(acc, ntt_qp: nttm.NttTables, div_p: rns.DivRoundLastq,

@@ -83,13 +83,8 @@ def keyswitch2(poly_q, k0, k1, ks2: KS2Level, ntt_qp_level: nttm.NttTables,
         digs.append(ks2.convs[j](part))               # (ka+alpha, n)
     digits = jnp.stack(digs, axis=-3)                 # (d̃, ka+alpha, n)
     d_ntt = nttm.ntt_fwd(digits, ntt_qp_level)
-    p, pinv, _, mu, r1, r1sh = base_qp_level.bview()
-    t0 = mm.mont_mul(d_ntt, k0, p, pinv)
-    t1 = mm.mont_mul(d_ntt, k1, p, pinv)
-    hi0, lo0 = rns.sum_u32_axis64(t0, axis=-3)
-    hi1, lo1 = rns.sum_u32_axis64(t1, axis=-3)
-    acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
-    acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
+    acc0 = rns.lazy_mac_mont(d_ntt, k0, base_qp_level)
+    acc1 = rns.lazy_mac_mont(d_ntt, k1, base_qp_level)
     acc = nttm.ntt_inv(jnp.stack([acc0, acc1]), ntt_qp_level)
     for stage in ks2.div_stages:
         acc = stage(acc)

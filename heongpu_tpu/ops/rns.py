@@ -120,6 +120,41 @@ def sum_u32_axis64(vals, axis: int):
     return sum64(items)
 
 
+def lazy_mac_mont(d_ntt, karr, base: "Base", axis: int = -3):
+    """Σ_j d_j · k_j mod p with k in Montgomery form — the keyswitch hot MAC
+    (reference keyswitch_multiply_accumulate_kernel, kernel/switchkey.cu:61).
+
+    Lazy: raw 64-bit products accumulate exactly as (hi, lo) pairs with no
+    per-term reduction (≤16 products of <2^30 values fit 64 bits), then one
+    REDC-with-pre-Barrett per output element."""
+    p, pinv, _, mu, *_ = base.bview()
+    d = d_ntt.shape[axis]
+    take = lambda a, j: jnp.take(a, j, axis=axis)
+
+    def fold(hi, lo):
+        # X = hi·2^32 + lo = Σ d·(k·R) exactly; want X·R^{-1} mod p.
+        # Pre-reduce hi (hi·2^32 ≡ (hi mod p)·2^32) so one REDC pass lands
+        # below 2p+1.
+        hi_m = mm.barrett32(hi, p, mu)
+        m = lo * pinv
+        mhi, _ = mm.widening_mul(m, p)
+        t = hi_m + mhi + (lo != 0).astype(lo.dtype)
+        return mm.cond_sub(mm.cond_sub(t, p), p)
+
+    acc = None
+    for c0 in range(0, d, 16):          # 16 30-bit products fit 64 bits
+        hi = lo = None
+        for j in range(c0, min(c0 + 16, d)):
+            phi, plo = mm.widening_mul(take(d_ntt, j), take(karr, j))
+            if hi is None:
+                hi, lo = phi, plo
+            else:
+                hi, lo = mm.add64(hi, lo, phi, plo)
+        part = fold(hi, lo)
+        acc = part if acc is None else mm.add_mod(acc, part, p)
+    return acc
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ibase", "obase", "qhat_inv", "qhat_inv_sh", "mat_mont"],
