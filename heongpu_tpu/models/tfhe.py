@@ -138,12 +138,16 @@ class BootKey:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["a", "b"], meta_fields=[])
+         data_fields=["a", "b"], meta_fields=["variance"])
 @dataclasses.dataclass(frozen=True)
 class Ciphertext:
-    """Batched LWE samples (reference ciphertext.cuh a/b device arrays)."""
+    """Batched LWE samples (reference ciphertext.cuh a/b device arrays).
+    `variance` tracks the torus-noise variance through linear pre-comps and
+    resets at every bootstrap — the reference's variances_/alpha bookkeeping
+    (src/lib/host/tfhe/operator.cu:40-44,259-263,287-293) as metadata."""
     a: jnp.ndarray  # (B, n) uint32
     b: jnp.ndarray  # (B,) uint32
+    variance: float = 0.0
 
 
 def keygen_secret(key) -> SecretKey:
@@ -262,7 +266,7 @@ def encrypt(ctx: TfheContext, sk: SecretKey, bits, key) -> Ciphertext:
     e = _torus_noise(ke, (B,), SIGMA_KS)
     mu = jnp.where(bits, MU, jnp.uint32(-np.int64(MU) & 0xFFFFFFFF))
     b = jnp.sum(a * sk.lwe[None, :], axis=-1) + mu + e
-    return Ciphertext(a, b)
+    return Ciphertext(a, b, variance=SIGMA_KS ** 2)
 
 
 def decrypt(ctx: TfheContext, sk: SecretKey, ct: Ciphertext) -> np.ndarray:
@@ -354,6 +358,24 @@ def _modswitch(x, N):
     return ((x + (jnp.uint32(1) << (sh - 1))) >> sh).astype(jnp.int32)
 
 
+def bootstrap_output_variance(ctx: TfheContext) -> float:
+    """Fresh-output noise variance of one gate bootstrap (CGGI estimate:
+    blind-rotation external products + decomposition error + keyswitch)."""
+    br = (ctx.n * (ctx.k + 1) * ctx.l * ctx.N * (BG / 2) ** 2 * SIGMA_BK ** 2
+          + ctx.n * (1 + ctx.k * ctx.N) * (2.0 ** (-2 * ctx.bg_bit * ctx.l)) / 12)
+    ks = ctx.N * ctx.ks_length * SIGMA_KS ** 2 \
+        + ctx.N * (2.0 ** (-2 * ctx.ks_base_bit * ctx.ks_length)) / 12
+    return br + ks
+
+
+def noise_margin_bits(ct: Ciphertext) -> float:
+    """log2 of mu/(4*sigma): >0 means comfortable decryption margin
+    (reference alpha_min/max style observability)."""
+    import math
+    sigma = max(math.sqrt(ct.variance), 1e-30)
+    return math.log2((1.0 / 8.0) / (4.0 * sigma))
+
+
 _RENORM = 8  # CMux steps between torus renormalisations of the accumulator
 
 
@@ -431,7 +453,7 @@ def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
             kb[None], dig[:, :, None].astype(jnp.int32), axis=2)[:, :, 0]  # (B,N)
         out_a = out_a - jnp.sum(sel_a, axis=1)
         out_b = out_b - jnp.sum(sel_b, axis=1)
-    return Ciphertext(out_a, out_b)
+    return Ciphertext(out_a, out_b, variance=bootstrap_output_variance(ctx))
 
 
 # ------------------------------------------------------------------
@@ -444,41 +466,47 @@ def _const_ct(B, val) -> Ciphertext:
 
 
 def NAND(ctx, bk, c1: Ciphertext, c2: Ciphertext) -> Ciphertext:
-    pre = Ciphertext(-(c1.a + c2.a), MU - c1.b - c2.b)
+    pre = Ciphertext(-(c1.a + c2.a), MU - c1.b - c2.b,
+                     variance=c1.variance + c2.variance)
     return bootstrap_raw(ctx, bk, pre)
 
 
 def AND(ctx, bk, c1, c2) -> Ciphertext:
-    pre = Ciphertext(c1.a + c2.a, c1.b + c2.b - MU)
+    pre = Ciphertext(c1.a + c2.a, c1.b + c2.b - MU,
+                     variance=c1.variance + c2.variance)
     return bootstrap_raw(ctx, bk, pre)
 
 
 def OR(ctx, bk, c1, c2) -> Ciphertext:
-    pre = Ciphertext(c1.a + c2.a, c1.b + c2.b + MU)
+    pre = Ciphertext(c1.a + c2.a, c1.b + c2.b + MU,
+                     variance=c1.variance + c2.variance)
     return bootstrap_raw(ctx, bk, pre)
 
 
 def NOR(ctx, bk, c1, c2) -> Ciphertext:
-    pre = Ciphertext(-(c1.a + c2.a), -(c1.b + c2.b) - MU)
+    pre = Ciphertext(-(c1.a + c2.a), -(c1.b + c2.b) - MU,
+                     variance=c1.variance + c2.variance)
     return bootstrap_raw(ctx, bk, pre)
 
 
 def XOR(ctx, bk, c1, c2) -> Ciphertext:
     two = jnp.uint32(2)
-    pre = Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU)
+    pre = Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU,
+                     variance=4 * (c1.variance + c2.variance))
     return bootstrap_raw(ctx, bk, pre)
 
 
 def XNOR(ctx, bk, c1, c2) -> Ciphertext:
     two = jnp.uint32(2)
     pre = Ciphertext(-(two * (c1.a + c2.a)),
-                     -(two * (c1.b + c2.b)) - two * MU)
+                     -(two * (c1.b + c2.b)) - two * MU,
+                     variance=4 * (c1.variance + c2.variance))
     return bootstrap_raw(ctx, bk, pre)
 
 
 def NOT(ctx, c1: Ciphertext) -> Ciphertext:
     """No bootstrap needed (reference operator.cuh:640)."""
-    return Ciphertext(-c1.a, -c1.b)
+    return Ciphertext(-c1.a, -c1.b, variance=c1.variance)
 
 
 def MUX(ctx, bk, sel, c_true, c_false) -> Ciphertext:
@@ -486,5 +514,6 @@ def MUX(ctx, bk, sel, c_true, c_false) -> Ciphertext:
     operator.cuh:688-812)."""
     t = AND(ctx, bk, sel, c_true)
     f = AND(ctx, bk, NOT(ctx, sel), c_false)
-    pre = Ciphertext(t.a + f.a, t.b + f.b + MU)
+    pre = Ciphertext(t.a + f.a, t.b + f.b + MU,
+                     variance=t.variance + f.variance)
     return bootstrap_raw(ctx, bk, pre)

@@ -188,8 +188,11 @@ def build_ntt_tables(primes, n: int, psis=None, use_mxu=None) -> NttTables:
     """Host-side table construction (numpy / python ints).
 
     use_mxu: attach int8 digit-plane matrices so ntt_fwd/ntt_inv run the
-    sub-transforms on the MXU (ops/ntt_mxu.py).  Default: enabled on TPU
-    backends for n >= 2048, disabled on CPU."""
+    sub-transforms on the MXU (ops/ntt_mxu.py).  Default OFF: in fused
+    pipelines XLA folds neighboring elementwise work into the VPU stage
+    path, which measures faster end-to-end (458 vs 379 ops/s on the
+    N=2^16 mult+relin chain); the MXU path remains available for
+    workloads that saturate the VPU elsewhere."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
     n1, n2 = split_n(n)
@@ -281,7 +284,7 @@ def build_ntt_tables(primes, n: int, psis=None, use_mxu=None) -> NttTables:
             itw2_sh[s][li] = ib[s]
 
     if use_mxu is None:
-        use_mxu = jax.default_backend() != "cpu" and n >= 2048
+        use_mxu = False
     mxu = None
     if use_mxu:
         from . import ntt_mxu

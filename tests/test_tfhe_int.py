@@ -54,3 +54,19 @@ def test_huint16_roundtrip_and_rounds(setup):
     # round count formula: 2 + 2*log2(W) + 1
     assert tfhe_int.bootstrap_rounds(8) == 9
     assert tfhe_int.bootstrap_rounds(256) == 19
+
+
+def test_variance_tracking(setup):
+    """Per-gate noise-variance bookkeeping (reference variances_ fields)."""
+    import math
+    from heongpu_tpu.models.tfhe import (bootstrap_output_variance,
+                                         noise_margin_bits)
+    ctx, sk, bk = setup
+    c = tfhe.encrypt(ctx, sk, np.array([1, 0]), rng.new_key(50))
+    assert c.variance > 0
+    g = tfhe.AND(ctx, bk, c, c)
+    assert g.variance == bootstrap_output_variance(ctx)
+    # decryption margin must be comfortably positive at STD128
+    assert noise_margin_bits(g) > 1
+    # XOR pre-computation quadruples the linear variance (tracked, then reset)
+    assert tfhe.NOT(ctx, c).variance == c.variance
