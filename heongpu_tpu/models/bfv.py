@@ -697,3 +697,27 @@ def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
 
 
 
+
+
+def multiply_power_of_x(ctx: BfvContext, ct: Ciphertext, k: int) -> Ciphertext:
+    """ct * X^k (negacyclic monomial multiply; reference
+    HEOperator<BFV>::multiply_power_of_X, operator.cuh:935)."""
+    assert not ct.in_ntt
+    src, neg = polyops.negacyclic_shift_tables(k, ctx.n)
+    out = polyops.negacyclic_shift(ct.c, src, neg, ctx.base_q.p[:, None])
+    return Ciphertext(out, ct.noise_seed, ct.size, False)
+
+
+def transform_to_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
+    """Coefficient -> NTT domain (reference transform_to_ntt_inplace,
+    operator.cuh:1027-1157).  NTT-form cts support pointwise add/sub and
+    plain multiplication without per-op transforms."""
+    assert not ct.in_ntt
+    return Ciphertext(nttm.ntt_fwd(ct.c, ctx.ntt_qp.slice_limbs(0, ctx.k)),
+                      ct.noise_seed, ct.size, True)
+
+
+def transform_from_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
+    assert ct.in_ntt
+    return Ciphertext(nttm.ntt_inv(ct.c, ctx.ntt_qp.slice_limbs(0, ctx.k)),
+                      ct.noise_seed, ct.size, False)

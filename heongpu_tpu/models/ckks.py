@@ -744,3 +744,9 @@ def p_scale_to_qtilde(ctx, poly_q, level: int):
                           ctx.base_q_at(level).p[:, None])
     zeros = jnp.zeros(poly_q.shape[:-2] + (len(ctx.p_primes), ctx.n), jnp.uint32)
     return jnp.concatenate([scaled, zeros], axis=-2)
+
+
+def multiply_power_of_x(ctx: CkksContext, a: Ciphertext, k: int) -> Ciphertext:
+    """a * X^k — an NTT-domain pointwise multiply by the monomial tables
+    (reference multiply_power_of_X / negacyclic_shift_poly_coeffmod)."""
+    return multiply_by_monomial(ctx, a, monomial_mult_tables(ctx, k))

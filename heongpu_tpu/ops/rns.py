@@ -197,14 +197,12 @@ class BaseConv:
                             self.ibase.p[:, None])
 
     def convert_from_digits(self, z):
-        """Given z (..., k_in, N) return x̂ (..., k_out, N) in the out base."""
-        k_in, k_out = self.mat_mont.shape
-        po, pinvo, _, muo, r1o, r1sho = self.obase.bview()
+        """Given z (..., k_in, N) return x̂ (..., k_out, N) in the out base.
+        Lazy MAC over the input limbs (same trick as the keyswitch inner
+        product): raw 64-bit products, one REDC per output element."""
         zz = z[..., :, None, :]                       # (..., k_in, 1, N)
         mat = self.mat_mont[:, :, None]               # (k_in, k_out, 1)
-        terms = mm.mont_mul(zz, mat, po, pinvo)       # (..., k_in, k_out, N)
-        hi, lo = sum_u32_axis64(terms, axis=-3)
-        return mm.reduce64(hi, lo, po, muo, r1o, r1sho)
+        return lazy_mac_mont(zz, mat, self.obase, axis=-3)
 
     def __call__(self, x):
         return self.convert_from_digits(self.scaled_digits(x))
