@@ -721,3 +721,16 @@ def transform_from_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
     assert ct.in_ntt
     return Ciphertext(nttm.ntt_inv(ct.c, ctx.ntt_qp.slice_limbs(0, ctx.k)),
                       ct.noise_seed, ct.size, False)
+
+
+def print_parameters(ctx: BfvContext):
+    """Reference HEContext::print_parameters analog."""
+    total = sum(int(q).bit_length() for q in ctx.q_primes)
+    ptotal = sum(int(q).bit_length() for q in ctx.p_primes)
+    print(f"/ BFV parameters\n"
+          f"| poly_modulus_degree: {ctx.n}\n"
+          f"| coeff_modulus: {total}+{ptotal} bits "
+          f"({len(ctx.q_primes)} Q + {len(ctx.p_primes)} P primes)\n"
+          f"| plain_modulus: {ctx.t}\n"
+          f"| keyswitching: METHOD_{ctx.ks_type} (alpha={ctx.alpha})\n"
+          f"\\ security: {ctx.sec_level}")

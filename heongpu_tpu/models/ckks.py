@@ -750,3 +750,16 @@ def multiply_power_of_x(ctx: CkksContext, a: Ciphertext, k: int) -> Ciphertext:
     """a * X^k — an NTT-domain pointwise multiply by the monomial tables
     (reference multiply_power_of_X / negacyclic_shift_poly_coeffmod)."""
     return multiply_by_monomial(ctx, a, monomial_mult_tables(ctx, k))
+
+
+def print_parameters(ctx: CkksContext):
+    """Reference HEContext::print_parameters analog."""
+    total = sum(int(q).bit_length() for q in ctx.q_primes)
+    ptotal = sum(int(q).bit_length() for q in ctx.p_primes)
+    print(f"/ CKKS parameters\n"
+          f"| poly_modulus_degree: {ctx.n} (slots: {ctx.n // 2})\n"
+          f"| coeff_modulus: {total}+{ptotal} bits "
+          f"({ctx.k} Q + {len(ctx.p_primes)} P primes)\n"
+          f"| default scale: 2^{int(math.log2(ctx.default_scale))}\n"
+          f"| keyswitching: METHOD_{ctx.ks_type} (alpha={ctx.alpha})\n"
+          f"\\ security: {ctx.sec_level}")

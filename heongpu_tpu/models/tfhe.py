@@ -517,3 +517,13 @@ def MUX(ctx, bk, sel, c_true, c_false) -> Ciphertext:
     pre = Ciphertext(t.a + f.a, t.b + f.b + MU,
                      variance=t.variance + f.variance)
     return bootstrap_raw(ctx, bk, pre)
+
+
+def print_parameters(ctx: TfheContext):
+    """Reference HEContext::print_parameters analog (STD128 fixed set)."""
+    print(f"/ TFHE parameters (STD128)\n"
+          f"| LWE n: {ctx.n}   TRLWE N: {ctx.N} (k={ctx.k})\n"
+          f"| TGSW: l={ctx.l}, bg_bit={ctx.bg_bit}\n"
+          f"| keyswitch: base 2^{ctx.ks_base_bit}, length {ctx.ks_length}\n"
+          f"| CRT NTT primes: {ctx.primes}\n"
+          f"\\ sigmas: ks={SIGMA_KS:.3e}, bk={SIGMA_BK:.3e}")
