@@ -288,7 +288,11 @@ def rotate_exact(ctx, ct, gk: ringkit.GaloisKey, step: int):
     if step % (ctx.n // 2) == 0:
         return ct
     g = polyops.steps_to_galois_elt(step, ctx.n)
-    return ckks.apply_galois(ctx, ct, gk.keys[g])
+    if g in gk.keys:
+        return ckks.apply_galois(ctx, ct, gk.keys[g])
+    # less-key mode: compose from the power-of-two chain (reference
+    # less_key_mode: -30% Galois-key memory for extra keyswitches)
+    return ckks.rotate(ctx, ct, gk, step)
 
 
 def matvec_piece(ctx: CkksContext, ct: Ciphertext, piece: Piece,

@@ -74,6 +74,11 @@ class BootKeysV2:
     mult_i: tuple
     mult_neg_i: tuple
     cos_coeffs: np.ndarray      # power-basis coeffs of cos(R·y) on [-1,1]
+    # sparse-secret switching (reference mod_up_from_q0 + switch keys,
+    # ePrint 2020/1203): the main key stays dense; a low-hamming-weight
+    # temporary key wraps the mod-raise so ||I||_inf stays small
+    swk_to_sparse: Optional[ringkit.KSKey] = None
+    swk_to_dense: Optional[ringkit.KSKey] = None
 
     @property
     def ctos_out_level(self) -> int:
@@ -83,7 +88,9 @@ class BootKeysV2:
 def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
                                cfg: BootConfigV2 = None,
                                variant: str = "regular",
-                               msg_scale: Optional[float] = None) -> BootKeysV2:
+                               msg_scale: Optional[float] = None,
+                               sparse_hw: Optional[int] = None,
+                               less_key_mode: bool = False) -> BootKeysV2:
     """Key + matrix generation for the v2 family.  Piece placement:
       regular: CtoS at levels 0..p1-1, StoC after EvalMod.
       slim/bit/gate: StoC at the chain tail (ending at the last limb), CtoS
@@ -130,17 +137,37 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
     for pc in ctos_pieces + stoc_pieces:
         for g, babies, _ in pc.giants:
             steps.update(b for b in babies if b)
-            if g:
+            if g and not less_key_mode:
                 steps.add(g)
+    if less_key_mode:
+        # giants compose from the power-of-two chain (reference
+        # less_key_mode, docs/bootstrapping.rst:23: -30% key memory,
+        # +15-20% time)
+        half = ctx.n // 2
+        j = 1
+        while j < half:
+            steps.add(j)
+            j *= 2
     gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
     rk = ckks.keygen_relin(ctx, jax.random.fold_in(key, 1), sk)
+    swk_to_sparse = swk_to_dense = None
+    if sparse_hw is not None:
+        k_sp = jax.random.fold_in(key, 2)
+        sk_sp = ckks.keygen_secret(ctx, k_sp, hamming_weight=sparse_hw)
+        swk_to_sparse = ckks.keygen_switch(ctx, jax.random.fold_in(key, 3),
+                                           sk, sk_sp)
+        swk_to_dense = ckks.keygen_switch(ctx, jax.random.fold_in(key, 4),
+                                          sk_sp, sk)
+        assert cfg.K >= sparse_hw // 2 + 3, \
+            "cfg.K must cover the sparse-key mod-raise overflow"
     cos_coeffs = poly_eval.cosine_approx_coeffs(cfg.R, cfg.cos_degree)
     return BootKeysV2(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
                       variant=variant,
                       ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
                       mult_i=ckks.monomial_mult_tables(ctx, n // 2),
                       mult_neg_i=ckks.monomial_mult_tables(ctx, 2 * n - n // 2),
-                      cos_coeffs=cos_coeffs)
+                      cos_coeffs=cos_coeffs,
+                      swk_to_sparse=swk_to_sparse, swk_to_dense=swk_to_dense)
 
 
 def _encoder(ctx):
@@ -200,14 +227,27 @@ def eval_mod_sin(ctx, t: Ciphertext, keys: BootKeysV2) -> Ciphertext:
 def regular_bootstrap_v2(ctx: CkksContext, ct: Ciphertext,
                          keys: BootKeysV2) -> Ciphertext:
     """Chebyshev-EvalMod regular bootstrapping (reference
-    regular_bootstrapping_v2, operator.cu:7147)."""
+    regular_bootstrapping_v2, operator.cu:7147).  With sparse switch keys
+    the mod-raise happens under a low-hamming-weight temporary key
+    (mod_up_from_q0 + switch keys, ePrint 2020/1203) so the dense production
+    key never constrains K."""
     assert keys.variant == "regular"
-    raised = ckks_boot.mod_raise(ctx, ct)
+    raised = _raise_maybe_sparse(ctx, ct, keys)
     t0, t1 = _coeff_to_slot(ctx, raised, keys)
     s0 = eval_mod_sin(ctx, t0, keys)
     s1 = eval_mod_sin(ctx, t1, keys)
     out = _slot_to_coeff(ctx, s0, s1, keys)
     return out
+
+
+def _raise_maybe_sparse(ctx, m, keys: BootKeysV2):
+    """mod-raise, optionally under the temporary sparse key."""
+    if keys.swk_to_sparse is not None:
+        m = ckks.switch_key(ctx, m, keys.swk_to_sparse)
+    raised = ckks_boot.mod_raise(ctx, m)
+    if keys.swk_to_dense is not None:
+        raised = ckks.switch_key(ctx, raised, keys.swk_to_dense)
+    return raised
 
 
 def slim_bootstrap(ctx: CkksContext, ct: Ciphertext,
@@ -224,7 +264,7 @@ def slim_bootstrap(ctx: CkksContext, ct: Ciphertext,
     for piece in keys.stoc_pieces:
         m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
     assert ctx.active(m.level) == 1, "slim StoC must end on the last limb"
-    raised = ckks_boot.mod_raise(ctx, m)
+    raised = _raise_maybe_sparse(ctx, m, keys)
     t0, t1 = _coeff_to_slot(ctx, raised, keys)
     s0 = eval_mod_sin(ctx, t0, keys)
     s1 = eval_mod_sin(ctx, t1, keys)
@@ -244,7 +284,7 @@ def bit_bootstrap(ctx: CkksContext, ct: Ciphertext,
     m = ct
     for piece in keys.stoc_pieces:
         m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
-    raised = ckks_boot.mod_raise(ctx, m)
+    raised = _raise_maybe_sparse(ctx, m, keys)
     t0, t1 = _coeff_to_slot(ctx, raised, keys)
     outs = []
     for t in (t0, t1):
@@ -278,7 +318,7 @@ def gate_bootstrap(ctx: CkksContext, ct1: Ciphertext, ct2: Ciphertext,
     m = ckks.add(ctx, ct1, ct2)
     for piece in keys.stoc_pieces:
         m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
-    raised = ckks_boot.mod_raise(ctx, m)
+    raised = _raise_maybe_sparse(ctx, m, keys)
     t0, t1 = _coeff_to_slot(ctx, raised, keys)
     outs = []
     for t in (t0, t1):

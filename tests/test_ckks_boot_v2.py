@@ -96,3 +96,38 @@ def test_gate_bootstrap(base):
         got = ckks.decode(ctx, ckks.decrypt(ctx, sk, out))
         want = fn(b1.astype(bool), b2.astype(bool)).astype(float)
         np.testing.assert_allclose(got.real, want, atol=0.1, err_msg=gate)
+
+
+def test_regular_v2_sparse_switch(base):
+    """Dense production key + temporary sparse key around the mod-raise
+    (reference mod_up_from_q0 + switch keys, ePrint 2020/1203)."""
+    ctx, _, _ = base
+    sk_dense = ckks.keygen_secret(ctx, rng.new_key(91))   # hw = n/2
+    pk = ckks.keygen_public(ctx, rng.new_key(92), sk_dense)
+    keys = ckks_boot_ext.generate_bootstrap_keys_v2(
+        ctx, rng.new_key(93), sk_dense, CFG, variant="regular", sparse_hw=16)
+    z = np.random.default_rng(7).uniform(-0.5, 0.5, N // 2)
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(94))
+    ct = ckks.mod_drop(ctx, ct, ctx.k - 1)
+    fresh = ckks_boot_ext.regular_bootstrap_v2(ctx, ct, keys)
+    got = ckks.decode(ctx, ckks.decrypt(ctx, sk_dense, fresh))
+    np.testing.assert_allclose(got.real, z, atol=1e-2)
+
+
+def test_less_key_mode(base):
+    """LKM trades Galois-key count for composed giant rotations (reference
+    less_key_mode).  One CtoS piece must still evaluate correctly."""
+    from heongpu_tpu.models import ckks_boot
+    ctx, sk, pk = base
+    std = ckks_boot_ext.generate_bootstrap_keys_v2(
+        ctx, rng.new_key(95), sk, CFG, variant="regular")
+    lkm = ckks_boot_ext.generate_bootstrap_keys_v2(
+        ctx, rng.new_key(95), sk, CFG, variant="regular", less_key_mode=True)
+    assert len(lkm.gk.keys) <= len(std.gk.keys)
+    z = np.random.default_rng(11).uniform(-0.5, 0.5, N // 2)
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(96))
+    a = ckks_boot.matvec_piece(ctx, ct, std.ctos_pieces[0], std.gk)
+    b = ckks_boot.matvec_piece(ctx, ct, lkm.ctos_pieces[0], lkm.gk)
+    va = ckks.decode(ctx, ckks.decrypt(ctx, sk, a))
+    vb = ckks.decode(ctx, ckks.decrypt(ctx, sk, b))
+    np.testing.assert_allclose(va, vb, atol=1e-4)
