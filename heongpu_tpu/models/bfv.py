@@ -352,9 +352,9 @@ def keygen_relin(ctx: BfvContext, key, sk: SecretKey) -> KSKey:
 
 
 def keygen_galois(ctx: BfvContext, key, sk: SecretKey, steps=None,
-                  max_shift: int = 8) -> GaloisKey:
+                  max_shift: int = 8, elts=None) -> GaloisKey:
     return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 groups=_groups(ctx))
+                                 groups=_groups(ctx), elts=elts)
 
 
 def keygen_switch(ctx: BfvContext, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
@@ -734,3 +734,28 @@ def print_parameters(ctx: BfvContext):
           f"| plain_modulus: {ctx.t}\n"
           f"| keyswitching: METHOD_{ctx.ks_type} (alpha={ctx.alpha})\n"
           f"\\ security: {ctx.sec_level}")
+
+
+def hoist(ctx: BfvContext, ct: Ciphertext):
+    """Phase-1 keyswitch digits of ct.c[1] (decompose + NTT over Q̃) shared
+    by many rotations — the BFV hoisting of the reference
+    (bfv_duplicate_kernel + fast rotations, kernel/switchkey.cuh)."""
+    assert ct.size == 2 and not ct.in_ntt
+    assert ctx.ks_type == "I", "hoisting implemented for Method-I contexts"
+    return ringkit.hoist_digits(ct.c[1], ctx.base_qp, ctx.ntt_qp, in_ntt=False)
+
+
+def rotate_rows_hoisted(ctx: BfvContext, ct: Ciphertext, d_ntt,
+                        gk1: GaloisKeyOne) -> Ciphertext:
+    """Apply one Galois rotation reusing hoisted digits: the automorphism is
+    an NTT-domain gather on the digits (commutes with decomposition up to
+    per-limb negation absorbed by the permutation table)."""
+    p = ctx.base_q.p[:, None]
+    dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
+    acc0, acc1 = ringkit.hoisted_mac(dp, gk1.k0, gk1.k1, ctx.base_qp)
+    out = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp, ctx.div_p,
+                            out_ntt=False)
+    g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src,
+                                    gk1.perm_coeff_neg, p)
+    return Ciphertext(jnp.stack([mm.add_mod(g0, out[0], p), out[1]]),
+                      None, 2, False)

@@ -237,9 +237,9 @@ def keygen_relin(ctx, key, sk):
     return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx))
 
 
-def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8):
+def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8, elts=None):
     return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 groups=_groups(ctx))
+                                 groups=_groups(ctx), elts=elts)
 
 
 def keygen_switch(ctx, key, sk_old, sk_new):

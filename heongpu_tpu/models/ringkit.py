@@ -190,16 +190,21 @@ def keygen_galois_one(ring: RingView, key, sk: SecretKey, g: int,
 
 def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
                   max_shift: int = 8, include_conj: bool = True,
-                  groups=None) -> GaloisKey:
+                  groups=None, elts=None) -> GaloisKey:
+    """Default: powers-of-two step chain ±2^0..±2^(max_shift-1) like the
+    reference (evaluationkey.cu:316-341); `steps` gives a custom rotation
+    list, `elts` gives raw Galois elements directly (reference custom-elt
+    constructor, evaluationkey.cuh:366-390)."""
     n = ring.n
-    if steps is None:
+    if steps is None and elts is None:
         steps = []
         for j in range(max_shift):
             steps += [1 << j, -(1 << j)]
+    gl = [polyops.steps_to_galois_elt(s, n) for s in (steps or [])]
+    gl += [int(g) for g in (elts or [])]
     keys = {}
-    subkeys = jax.random.split(key, len(steps) + 1)
-    for sk_i, step in zip(subkeys[:-1], steps):
-        g = polyops.steps_to_galois_elt(step, n)
+    subkeys = jax.random.split(key, len(gl) + 1)
+    for sk_i, g in zip(subkeys[:-1], gl):
         if g not in keys:
             keys[g] = keygen_galois_one(ring, sk_i, sk, g, groups=groups)
     if include_conj:

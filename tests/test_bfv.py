@@ -135,3 +135,29 @@ def test_method2_keyswitch():
     rows = (m1 * m2 % ctx2.t).reshape(2, half)
     want = np.concatenate([np.roll(rows[0], -1), np.roll(rows[1], -1)])
     np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_hoisted_rotations_and_custom_elts():
+    """BFV hoisting (decompose once, rotate many) + custom Galois elements
+    (reference fast rotations / custom-elt keygen)."""
+    from heongpu_tpu.ops import polyops
+    from heongpu_tpu.utils import params as prm
+    n = 1024
+    t = prm.plain_modulus_for(n, 17)
+    ctx = bfv.make_context(n, t, q_bits=[29, 29], sec_level="none")
+    sk = bfv.keygen_secret(ctx, rng.new_key(501))
+    pk = bfv.keygen_public(ctx, rng.new_key(502), sk)
+    gk = bfv.keygen_galois(ctx, rng.new_key(503), sk, steps=[1, 3])
+    m = (np.arange(n, dtype=np.uint64) * 7) % t
+    ct = bfv.encrypt(ctx, pk, bfv.encode(ctx, m), rng.new_key(504))
+    d = bfv.hoist(ctx, ct)
+    for s in (1, 3):
+        g = polyops.steps_to_galois_elt(s, n)
+        got = bfv.decode(ctx, bfv.decrypt(
+            ctx, sk, bfv.rotate_rows_hoisted(ctx, ct, d, gk.keys[g])))
+        want = np.concatenate([np.roll(m[: n // 2], -s),
+                               np.roll(m[n // 2:], -s)])
+        np.testing.assert_array_equal(got, want)
+    g5 = polyops.steps_to_galois_elt(5, n)
+    gk2 = bfv.keygen_galois(ctx, rng.new_key(505), sk, elts=[g5])
+    assert g5 in gk2.keys
