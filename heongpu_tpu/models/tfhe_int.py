@@ -193,3 +193,43 @@ def sub(ctx, bk, x: HUint, y: HUint) -> Tuple[HUint, tfhe.Ciphertext]:
 def bootstrap_rounds(width: int) -> int:
     """Number of batched blind-rotation rounds one addition costs."""
     return 2 + 2 * max(1, math.ceil(math.log2(width))) + 1
+
+
+def ge(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
+    """Encrypted (x >= y) per integer: the no-borrow bit of x - y."""
+    _, noborrow = sub(ctx, bk, x, y)
+    return noborrow
+
+
+def eq(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
+    """Encrypted (x == y): NOR-reduce the XOR difference bits, one batched
+    bootstrap per tree level (depth ceil(log2 W))."""
+    assert x.width == y.width and x.count == y.count
+    W, C = x.width, x.count
+    d = tfhe.bootstrap_raw(ctx, bk, _pre_xor(x.bits, y.bits))  # diff bits
+    # OR-reduce pairs until one bit per integer remains, then negate
+    width = W
+    cur = d
+    while width > 1:
+        half = width // 2
+        a_ = cur.a.reshape(C, width, -1)
+        b_ = cur.b.reshape(C, width)
+        lo = tfhe.Ciphertext(a_[:, :half].reshape(-1, tfhe.LWE_N),
+                             b_[:, :half].reshape(-1))
+        hi = tfhe.Ciphertext(a_[:, half:2 * half].reshape(-1, tfhe.LWE_N),
+                             b_[:, half:2 * half].reshape(-1))
+        merged = tfhe.bootstrap_raw(ctx, bk, _pre_or(lo, hi))
+        if width % 2:
+            tail = tfhe.Ciphertext(a_[:, -1:].reshape(-1, tfhe.LWE_N),
+                                   b_[:, -1:].reshape(-1))
+            ma = merged.a.reshape(C, half, -1)
+            mb = merged.b.reshape(C, half)
+            merged = tfhe.Ciphertext(
+                jnp.concatenate([ma, tail.a.reshape(C, 1, -1)], axis=1
+                                ).reshape(-1, tfhe.LWE_N),
+                jnp.concatenate([mb, tail.b.reshape(C, 1)], axis=1).reshape(-1))
+            width = half + 1
+        else:
+            width = half
+        cur = merged
+    return tfhe.NOT(ctx, cur)

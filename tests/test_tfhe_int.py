@@ -70,3 +70,14 @@ def test_variance_tracking(setup):
     assert noise_margin_bits(g) > 1
     # XOR pre-computation quadruples the linear variance (tracked, then reset)
     assert tfhe.NOT(ctx, c).variance == c.variance
+
+
+def test_huint_comparisons(setup):
+    ctx, sk, bk = setup
+    xs = np.array([200, 13]); ys = np.array([100, 13])
+    hx = tfhe_int.encrypt_huint(ctx, sk, xs, 8, rng.new_key(51))
+    hy = tfhe_int.encrypt_huint(ctx, sk, ys, 8, rng.new_key(52))
+    geb = tfhe.decrypt(ctx, sk, tfhe_int.ge(ctx, bk, hx, hy)).astype(int)
+    eqb = tfhe.decrypt(ctx, sk, tfhe_int.eq(ctx, bk, hx, hy)).astype(int)
+    np.testing.assert_array_equal(geb, (xs >= ys).astype(int))
+    np.testing.assert_array_equal(eqb, (xs == ys).astype(int))
