@@ -36,18 +36,16 @@ def galois_perm_coeff(g: int, n: int):
     Returns (src_index[n] int32, negate[n] uint32) such that
     out[j] = (-1)^negate[j] * in[src_index[j]].
     """
-    src = np.empty(n, np.int32)
-    neg = np.empty(n, np.uint8)
     m = 2 * n
-    for i in range(n):
-        r = (i * g) % m
-        if r < n:
-            src_j, s = r, 0
-        else:
-            src_j, s = r - n, 1
-        src[src_j] = i
-        neg[src_j] = s
-    return jnp.asarray(src), jnp.asarray(neg.astype(np.uint32))
+    i = np.arange(n, dtype=np.int64)
+    r = (i * g) % m
+    wrap = r >= n
+    dst = np.where(wrap, r - n, r)
+    src = np.empty(n, np.int32)
+    neg = np.empty(n, np.uint32)
+    src[dst] = i
+    neg[dst] = wrap
+    return jnp.asarray(src), jnp.asarray(neg)
 
 
 def galois_perm_ntt(g: int, n: int):
@@ -82,15 +80,15 @@ def apply_galois_ntt(x, perm):
 def negacyclic_shift_tables(k: int, n: int):
     """Host tables for multiplication by X^k (k may be negative)."""
     k = k % (2 * n)
+    i = np.arange(n, dtype=np.int64)
+    j = (i + k) % (2 * n)
+    wrap = j >= n
+    dst = np.where(wrap, j - n, j)
     src = np.empty(n, np.int32)
-    neg = np.empty(n, np.uint8)
-    for i in range(n):
-        j = (i + k) % (2 * n)
-        if j < n:
-            src[j], neg[j] = i, 0
-        else:
-            src[j - n], neg[j - n] = i, 1
-    return jnp.asarray(src), jnp.asarray(neg.astype(np.uint32))
+    neg = np.empty(n, np.uint32)
+    src[dst] = i
+    neg[dst] = wrap
+    return jnp.asarray(src), jnp.asarray(neg)
 
 
 def negacyclic_shift(x, src, neg, p):
