@@ -661,13 +661,43 @@ def switch_key(ctx, a: Ciphertext, swk: KSKey) -> Ciphertext:
 # src/lib/host/ckks/operator.cu:4674: decompose once, rotate many)
 # =========================================================================
 
+def _hoist_key_slices(ctx, gk1, lvl):
+    """Level-sliced key pair for either keyswitching method."""
+    ka = ctx.active(lvl)
+    if ctx.ks_type == "II":
+        d_lvl = -(-ka // ctx.alpha)
+        return (_slice_key2(ctx, gk1.k0, ka, d_lvl),
+                _slice_key2(ctx, gk1.k1, ka, d_lvl))
+    return (ringkit.slice_key_level(gk1.k0, ka, ctx.k),
+            ringkit.slice_key_level(gk1.k1, ka, ctx.k))
+
+
 def hoist(ctx, a: Ciphertext):
-    """Phase-1 digits of a.c[1] over Q̃, shared by many rotations."""
+    """Phase-1 keyswitch digits of a.c[1] over Q̃, shared by many rotations
+    (Method I: per-prime broadcast digits; Method II: grouped FastBconv
+    digits — the reference hoists both, operator.cu:4674/5092)."""
     assert a.size == 2
-    assert ctx.ks_type == "I", "hoisting implemented for Method-I contexts"
     lvl = a.level
+    if ctx.ks_type == "II":
+        ka = ctx.active(lvl)
+        ks2 = ctx.ks2[lvl]
+        poly = nttm.ntt_inv(a.c[1], ctx.ntt_q(lvl))
+        digs = [ks2.convs[j](poly[..., g[0]: g[-1] + 1, :])
+                for j, g in enumerate(ks2.groups)]
+        return nttm.ntt_fwd(jnp.stack(digs, axis=-3), ctx.ntt_qp_at(lvl))
     return ringkit.hoist_digits(a.c[1], ctx.base_qp_at(lvl), ctx.ntt_qp_at(lvl),
                                 in_ntt=True, ntt_q=ctx.ntt_q(lvl))
+
+
+def ks_finish_at(ctx, acc, level: int, out_ntt: bool = True):
+    """INTT over Q̃ + exact ÷P (one or alpha stages) + NTT over Q."""
+    coeff = nttm.ntt_inv(acc, ctx.ntt_qp_at(level))
+    if ctx.ks_type == "II":
+        for stage in ctx.ks2[level].div_stages:
+            coeff = stage(coeff)
+    else:
+        coeff = ctx.div_p_at(level)(coeff)
+    return nttm.ntt_fwd(coeff, ctx.ntt_q(level)) if out_ntt else coeff
 
 
 def rotate_hoisted(ctx, a: Ciphertext, d_ntt, gk1: GaloisKeyOne) -> Ciphertext:
@@ -676,14 +706,8 @@ def rotate_hoisted(ctx, a: Ciphertext, d_ntt, gk1: GaloisKeyOne) -> Ciphertext:
     automorphism up to per-limb negation, which the gather's sign structure
     absorbs because NTT-domain permutation == coefficient permute+negate)."""
     lvl = a.level
-    ka = ctx.active(lvl)
-    dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
-    k0s = ringkit.slice_key_level(gk1.k0, ka, ctx.k)
-    k1s = ringkit.slice_key_level(gk1.k1, ka, ctx.k)
-    acc0, acc1 = ringkit.hoisted_mac(dp, k0s, k1s, ctx.base_qp_at(lvl))
-    out = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp_at(lvl),
-                            ctx.div_p_at(lvl), True, ctx.ntt_q(lvl))
-    g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
+    acc0, acc1, g0 = rotate_hoisted_raw(ctx, a, d_ntt, gk1)
+    out = ks_finish_at(ctx, jnp.stack([acc0, acc1]), lvl)
     p = _p_at(ctx, lvl)
     return Ciphertext(jnp.stack([mm.add_mod(g0, out[0], p), out[1]]),
                       2, lvl, a.scale)
@@ -696,10 +720,9 @@ def rotate_hoisted_raw(ctx, a: Ciphertext, d_ntt, gk1: GaloisKeyOne):
     double-hoisting: broadcast_scale_P_kernel + addition_pql_kernel)."""
     lvl = a.level
     dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
-    ka = ctx.active(lvl)
-    k0s = ringkit.slice_key_level(gk1.k0, ka, ctx.k)
-    k1s = ringkit.slice_key_level(gk1.k1, ka, ctx.k)
-    acc0, acc1 = ringkit.hoisted_mac(dp, k0s, k1s, ctx.base_qp_at(lvl))
+    k0s, k1s = _hoist_key_slices(ctx, gk1, lvl)
+    acc0 = rns.lazy_mac_mont(dp, k0s, ctx.base_qp_at(lvl))
+    acc1 = rns.lazy_mac_mont(dp, k1s, ctx.base_qp_at(lvl))
     g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
     return acc0, acc1, g0
 

@@ -220,7 +220,6 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
     """Rotation/conj/relin keys + factored-DFT plaintext tables with the
     EvalMod constants folded in (reference Vandermonde builder + galois
     key-index generation, operator.cu:5594-6580)."""
-    assert ctx.ks_type == "I", "bootstrapping uses hoisting (Method-I context)"
     cfg = cfg or BootConfig()
     msg_scale = float(msg_scale or ctx.default_scale)
     n = ctx.n
@@ -333,8 +332,7 @@ def matvec_piece(ctx: CkksContext, ct: Ciphertext, piece: Piece,
         hi1, lo1 = rns.sum_u32_axis64(t1, axis=0)
         acc0 = mm.reduce64(hi0, lo0, p, mu, r1, r1sh)
         acc1 = mm.reduce64(hi1, lo1, p, mu, r1, r1sh)
-        pair = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp_at(lvl),
-                                 ctx.div_p_at(lvl), True, ctx.ntt_q(lvl))
+        pair = ckks.ks_finish_at(ctx, jnp.stack([acc0, acc1]), lvl)
         ct_g = Ciphertext(pair, 2, lvl, ct.scale * piece.pt_scale)
         if g:
             ct_g = rotate_exact(ctx, ct_g, gk, g)

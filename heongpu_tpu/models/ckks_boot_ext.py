@@ -95,7 +95,6 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
       regular: CtoS at levels 0..p1-1, StoC after EvalMod.
       slim/bit/gate: StoC at the chain tail (ending at the last limb), CtoS
       at levels 0..p1-1 after the mod-raise; no trailing StoC."""
-    assert ctx.ks_type == "I"
     cfg = cfg or BootConfigV2()
     n = ctx.n
     q0 = int(ctx.q_primes[0])

@@ -138,3 +138,23 @@ def test_method2_keyswitch():
         ctx2, ckks.multiply(ctx2, ct3, ckks.mod_drop(ctx2, ct1, 1)), rk))
     got = ckks.decode(ctx2, ckks.decrypt(ctx2, sk, ckks.rotate(ctx2, ct4, gk, 1)))
     np.testing.assert_allclose(got, np.roll(z1 * z1 * z2, -1), atol=5e-2)
+
+
+def test_hoisted_rotation_method_ii():
+    """Method-II (hybrid) hoisting: grouped FastBconv digits rotate by the
+    NTT-domain gather like Method I (reference
+    fast_single_hoisting_rotation_ckks_method_II, operator.cu:5092)."""
+    from heongpu_tpu.ops import polyops
+    ctx = ckks.make_context(512, [29, 28, 28, 28], sec_level="none",
+                            ks_type="II", alpha=2)
+    sk = ckks.keygen_secret(ctx, rng.new_key(601))
+    pk = ckks.keygen_public(ctx, rng.new_key(602), sk)
+    gk = ckks.keygen_galois(ctx, rng.new_key(603), sk, steps=[1, 3])
+    z = np.linspace(-1, 1, ctx.n // 2)
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(604))
+    d = ckks.hoist(ctx, ct)
+    for step in (1, 3):
+        g = polyops.steps_to_galois_elt(step, ctx.n)
+        got = ckks.decode(ctx, ckks.decrypt(
+            ctx, sk, ckks.rotate_hoisted(ctx, ct, d, gk.keys[g]))).real
+        np.testing.assert_allclose(got, np.roll(z, -step), atol=1e-3)
