@@ -131,3 +131,22 @@ def test_less_key_mode(base):
     va = ckks.decode(ctx, ckks.decrypt(ctx, sk, a))
     vb = ckks.decode(ctx, ckks.decrypt(ctx, sk, b))
     np.testing.assert_allclose(va, vb, atol=1e-4)
+
+
+def test_regular_v2_method_ii():
+    """Full v2 bootstrap over a Method-II (hybrid keyswitching) context —
+    alpha-times smaller evaluation keys, the reference's bootstrapping
+    configuration."""
+    ctx = ckks.make_context(N, [29] + [28] * (DEPTH - 1), scale_bits=28,
+                            sec_level="none", ks_type="II", alpha=3)
+    sk = ckks.keygen_secret(ctx, rng.new_key(121), hamming_weight=16)
+    pk = ckks.keygen_public(ctx, rng.new_key(122), sk)
+    keys = ckks_boot_ext.generate_bootstrap_keys_v2(
+        ctx, rng.new_key(123), sk, CFG, variant="regular")
+    assert keys.rk.k0.shape[0] < DEPTH  # grouped digits
+    z = np.random.default_rng(12).uniform(-0.5, 0.5, N // 2)
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(124))
+    ct = ckks.mod_drop(ctx, ct, ctx.k - 1)
+    fresh = ckks_boot_ext.regular_bootstrap_v2(ctx, ct, keys)
+    got = ckks.decode(ctx, ckks.decrypt(ctx, sk, fresh))
+    np.testing.assert_allclose(got.real, z, atol=1e-2)
