@@ -205,12 +205,21 @@ def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
     ka = ctx.active(level)
     scale = float(ctx.q_primes[ka - 1]) * scale_mult
     n1, groups = _bsgs_split(list(diags), ns)
-    giants = []
+    # encode every diagonal of the piece in ONE device call (a single NTT
+    # shape per piece — avoids one XLA compilation per giant group)
+    order = []
+    vecs = []
     for g, babies in groups.items():
-        vecs = [np.roll(diags[g + b if g + b in diags else (g + b) % ns], g)
-                for b in babies]
-        pts = batch_encode(vecs, level, scale)
-        giants.append((g, tuple(babies), pts))
+        for b in babies:
+            order.append((g, b))
+            vecs.append(np.roll(diags[(g + b) % ns], g))
+    pts_all = batch_encode(vecs, level, scale)
+    giants = []
+    idx = 0
+    for g, babies in groups.items():
+        nb = len(babies)
+        giants.append((g, tuple(babies), pts_all[idx: idx + nb]))
+        idx += nb
     return Piece(level=level, n1=n1, giants=tuple(giants), pt_scale=scale)
 
 
