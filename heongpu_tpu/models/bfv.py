@@ -323,6 +323,13 @@ def decode(ctx: BfvContext, plain) -> np.ndarray:
     return np.asarray(jnp.take(e, ctx.slot_index))
 
 
+def decode_signed(ctx: BfvContext, plain) -> np.ndarray:
+    """Slots as centered signed integers in [-t/2, t/2) (reference int64
+    decode overload)."""
+    v = decode(ctx, plain).astype(np.int64)
+    return np.where(v >= ctx.t // 2 + 1, v - ctx.t, v)
+
+
 # =========================================================================
 # Keygen (delegates to ringkit; cold path, not jitted)
 # =========================================================================
