@@ -169,6 +169,14 @@ def make_context(n: int,
     validate_security(n, q_primes + p_primes, sec_level)
     if scale_bits is None:
         scale_bits = q_bits[1] if len(q_bits) > 1 else q_bits[0] - 1
+    if len(q_bits) > 2 and any(abs(b - scale_bits) > 1 for b in q_bits[1:]):
+        import warnings
+        warnings.warn(
+            f"scale 2^{scale_bits} vs scale-prime sizes {sorted(set(q_bits[1:]))}: "
+            "rescale multiplies the working scale by 2^(scale_bits - prime_bits) "
+            "per level; a mismatch decays the scale geometrically and deep "
+            "circuits (bootstrapping) lose the message below the noise floor. "
+            "Choose scale primes within 1 bit of scale_bits.")
     k = len(q_primes)
 
     # slot -> NTT storage position via the 5^j orbit (composed with the NTT

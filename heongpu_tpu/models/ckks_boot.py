@@ -64,11 +64,29 @@ class BootConfig:
 class Piece:
     """One factored-DFT matvec: precomputed BSGS plaintext diagonals over Q̃
     at a fixed level.  giants: tuple of (giant_step g, babies tuple,
-    pts (nb, ka+alpha, n) uint32 Montgomery NTT-domain)."""
+    pts (nb, ka+alpha, n) uint32 Montgomery NTT-domain).
+
+    Registered as a pytree (pts arrays are leaves) so whole bootstrap
+    pipelines can be jitted with keys passed as arguments."""
     level: int
     n1: int
     giants: Tuple[Tuple[int, Tuple[int, ...], jnp.ndarray], ...]
     pt_scale: float
+
+
+def _piece_flatten(p: Piece):
+    pts = tuple(g[2] for g in p.giants)
+    meta = (p.level, p.n1, tuple((g[0], g[1]) for g in p.giants), p.pt_scale)
+    return pts, meta
+
+
+def _piece_unflatten(meta, pts):
+    level, n1, gmeta, pt_scale = meta
+    giants = tuple((g, babies, pt) for (g, babies), pt in zip(gmeta, pts))
+    return Piece(level=level, n1=n1, giants=giants, pt_scale=pt_scale)
+
+
+jax.tree_util.register_pytree_node(Piece, _piece_flatten, _piece_unflatten)
 
 
 @dataclasses.dataclass

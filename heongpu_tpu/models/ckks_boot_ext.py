@@ -85,6 +85,26 @@ class BootKeysV2:
         return len(self.ctos_pieces)
 
 
+def _bk2_flatten(k: BootKeysV2):
+    children = (k.gk, k.rk, tuple(k.ctos_pieces), tuple(k.stoc_pieces),
+                k.mult_i, k.mult_neg_i, k.swk_to_sparse, k.swk_to_dense)
+    aux = (k.cfg, k.msg_scale, k.variant, tuple(map(float, k.cos_coeffs)))
+    return children, aux
+
+
+def _bk2_unflatten(aux, children):
+    cfg, msg_scale, variant, cos = aux
+    gk, rk, ctos, stoc, mi, mni, sws, swd = children
+    return BootKeysV2(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
+                      variant=variant, ctos_pieces=list(ctos),
+                      stoc_pieces=list(stoc), mult_i=mi, mult_neg_i=mni,
+                      cos_coeffs=np.asarray(cos), swk_to_sparse=sws,
+                      swk_to_dense=swd)
+
+
+jax.tree_util.register_pytree_node(BootKeysV2, _bk2_flatten, _bk2_unflatten)
+
+
 def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
                                cfg: BootConfigV2 = None,
                                variant: str = "regular",

@@ -71,10 +71,24 @@ class GaloisKeyOne:
 
 class GaloisKey:
     """Bundle of per-element Galois keys (default steps ±2^j like the
-    reference evaluationkey.cu:316-341, plus conjugation)."""
+    reference evaluationkey.cu:316-341, plus conjugation).  A pytree, so
+    rotation-heavy pipelines can be jitted with the key bundle as an
+    argument."""
 
     def __init__(self, keys: dict):
         self.keys = keys
+
+
+def _gk_flatten(gk: GaloisKey):
+    items = sorted(gk.keys.items(), key=lambda kv: str(kv[0]))
+    return tuple(v for _, v in items), tuple(k for k, _ in items)
+
+
+def _gk_unflatten(names, vals):
+    return GaloisKey(dict(zip(names, vals)))
+
+
+jax.tree_util.register_pytree_node(GaloisKey, _gk_flatten, _gk_unflatten)
 
 
 @partial(jax.tree_util.register_dataclass,
