@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
 from ..ops import keyswitch2, polyops, rns
-from ..utils import nt, rng
+from ..utils import errors, nt, rng
 from ..utils.params import default_coeff_modulus, validate_security
 from . import ringkit
 from .ringkit import (SecretKey, PublicKey, KSKey, GaloisKey, GaloisKeyOne,
@@ -170,9 +170,13 @@ def make_context(n: int,
     validate_security(n, q_primes + p_primes, sec_level)
 
     t = int(plain_modulus)
-    assert t % (2 * n) == 1 and nt.is_prime(t), \
-        "plain modulus must be an NTT-friendly prime for batching"
-    assert t < min(q_primes), "plain modulus must be below every Q prime"
+    if not (t % (2 * n) == 1 and nt.is_prime(t)):
+        raise errors.ParameterError(
+            "plain modulus must be an NTT-friendly prime (t = 1 mod 2n) "
+            "for batching; use params.plain_modulus_for(n, bits)")
+    if t >= min(q_primes):
+        raise errors.ParameterError(
+            "plain modulus must be below every Q prime")
     k = len(q_primes)
     Q = _prod(q_primes)
     QP = Q * _prod(p_primes)
@@ -327,7 +331,7 @@ def decode_signed(ctx: BfvContext, plain) -> np.ndarray:
     """Slots as centered signed integers in [-t/2, t/2) (reference int64
     decode overload)."""
     v = decode(ctx, plain).astype(np.int64)
-    return np.where(v >= ctx.t // 2 + 1, v - ctx.t, v)
+    return np.where(v > (ctx.t - 1) // 2, v - ctx.t, v)
 
 
 # =========================================================================
@@ -392,10 +396,11 @@ def _plain_lift(ctx: BfvContext, m):
     return mm.add_mod(dm, fix[None, :], p)      # fix < t < q_i
 
 
+@rng.drbg_eager
 @jax.jit
 def encrypt(ctx: BfvContext, pk: PublicKey, plain, key) -> Ciphertext:
     """plain: (n,) uint32 mod t."""
-    ku, k0, k1 = jax.random.split(key, 3)
+    ku, k0, k1 = rng.split(key, 3)
     qp = ctx.base_qp
     p, pinv, *_ = qp.bview()
     u = nttm.ntt_fwd(rng.ternary_rns(ku, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
@@ -602,7 +607,8 @@ def _behz_bsk_to_q(ctx: BfvContext, w):
 @jax.jit
 def multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     """BEHZ ct-ct multiply: (2-poly) x (2-poly) -> 3-poly, relin required."""
-    assert a.size == 2 and b.size == 2
+    errors.check_size(a.size, 2, "multiply")
+    errors.check_size(b.size, 2, "multiply")
     kq = ctx.k
     tb_q = ctx.ntt_qp.slice_limbs(0, kq)
     tb_bsk = ctx.ntt_qbsk.slice_limbs(kq, kq + ctx.bsk_k + 1)
@@ -649,7 +655,7 @@ def _ks_dispatch(ctx: BfvContext, poly_q, k0, k1):
 
 @jax.jit
 def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
-    assert ct.size == 3
+    errors.check_size(ct.size, 3, "relinearize")
     d0, d1 = _ks_dispatch(ctx, ct.c[2], rk.k0, rk.k1)
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p),
@@ -658,7 +664,7 @@ def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
 
 @jax.jit
 def apply_galois(ctx: BfvContext, ct: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
-    assert ct.size == 2
+    errors.check_size(ct.size, 2, "apply_galois")
     p = ctx.base_q.p[:, None]
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(ct.c[1], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
@@ -697,7 +703,7 @@ def rotate_columns(ctx: BfvContext, ct: Ciphertext, gk: GaloisKey) -> Ciphertext
 @jax.jit
 def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
     """Re-encrypt a size-2 ct from old key to new key (swk encrypts s_old)."""
-    assert ct.size == 2
+    errors.check_size(ct.size, 2, "switch_key")
     d0, d1 = _ks_dispatch(ctx, ct.c[1], swk.k0, swk.k1)
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p), d1]), None, 2, False)
@@ -709,7 +715,7 @@ def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
 def multiply_power_of_x(ctx: BfvContext, ct: Ciphertext, k: int) -> Ciphertext:
     """ct * X^k (negacyclic monomial multiply; reference
     HEOperator<BFV>::multiply_power_of_X, operator.cuh:935)."""
-    assert not ct.in_ntt
+    errors.check_ntt_domain(ct.in_ntt, False, "multiply_power_of_x")
     src, neg = polyops.negacyclic_shift_tables(k, ctx.n)
     out = polyops.negacyclic_shift(ct.c, src, neg, ctx.base_q.p[:, None])
     return Ciphertext(out, ct.noise_seed, ct.size, False)
@@ -719,13 +725,13 @@ def transform_to_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
     """Coefficient -> NTT domain (reference transform_to_ntt_inplace,
     operator.cuh:1027-1157).  NTT-form cts support pointwise add/sub and
     plain multiplication without per-op transforms."""
-    assert not ct.in_ntt
+    errors.check_ntt_domain(ct.in_ntt, False, "transform_to_ntt")
     return Ciphertext(nttm.ntt_fwd(ct.c, ctx.ntt_qp.slice_limbs(0, ctx.k)),
                       ct.noise_seed, ct.size, True)
 
 
 def transform_from_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
-    assert ct.in_ntt
+    errors.check_ntt_domain(ct.in_ntt, True, "transform_from_ntt")
     return Ciphertext(nttm.ntt_inv(ct.c, ctx.ntt_qp.slice_limbs(0, ctx.k)),
                       ct.noise_seed, ct.size, False)
 
@@ -747,7 +753,8 @@ def hoist(ctx: BfvContext, ct: Ciphertext):
     """Phase-1 keyswitch digits of ct.c[1] (decompose + NTT over Q̃) shared
     by many rotations — the BFV hoisting of the reference
     (bfv_duplicate_kernel + fast rotations, kernel/switchkey.cuh)."""
-    assert ct.size == 2 and not ct.in_ntt
+    errors.check_size(ct.size, 2, "hoist")
+    errors.check_ntt_domain(ct.in_ntt, False, "hoist")
     assert ctx.ks_type == "I", "hoisting implemented for Method-I contexts"
     return ringkit.hoist_digits(ct.c[1], ctx.base_qp, ctx.ntt_qp, in_ntt=False)
 

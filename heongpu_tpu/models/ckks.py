@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
 from ..ops import keyswitch2, polyops, rns
-from ..utils import nt, rng
+from ..utils import errors, nt, rng
 from ..utils.params import validate_security
 from . import ringkit
 from .ringkit import (SecretKey, PublicKey, KSKey, GaloisKey, GaloisKeyOne,
@@ -404,10 +404,11 @@ def decode(ctx: CkksContext, pt: Plaintext) -> np.ndarray:
 # Encrypt / Decrypt
 # =========================================================================
 
+@rng.drbg_eager
 @jax.jit
 def _encrypt_zero_ntt(ctx: CkksContext, pk: PublicKey, key):
     """(c0, c1) encrypting 0 over Q, NTT domain (level 0)."""
-    ku, k0, k1 = jax.random.split(key, 3)
+    ku, k0, k1 = rng.split(key, 3)
     qp = ctx.base_qp
     p, pinv, *_ = qp.bview()
     u = nttm.ntt_fwd(rng.ternary_rns(ku, ctx.qp_primes, (ctx.n,)), ctx.ntt_qp)
@@ -425,7 +426,10 @@ def _encrypt_zero_ntt(ctx: CkksContext, pk: PublicKey, key):
 
 
 def encrypt(ctx: CkksContext, pk: PublicKey, pt: Plaintext, key) -> Ciphertext:
-    assert pt.level == 0, "encrypt at level 0 (mod_drop afterwards if needed)"
+    if pt.level != 0:
+        raise errors.LevelMismatchError(
+            "encrypt expects a level-0 plaintext (mod_drop the ciphertext "
+            "afterwards if a lower level is needed)")
     z = _encrypt_zero_ntt(ctx, pk, key)
     p = ctx.base_q.p[:, None]
     c0 = mm.add_mod(z[0], pt.m, p)
@@ -469,8 +473,8 @@ def _sub_core(ctx, a, b, level):
 
 
 def _check_compat(a: Ciphertext, b: Ciphertext):
-    assert a.level == b.level, "level mismatch (mod_drop first)"
-    assert abs(a.scale - b.scale) <= 1e-6 * a.scale, "scale mismatch"
+    errors.check_level(a.level, b.level)
+    errors.check_scale(a.scale, b.scale)
 
 
 def add(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
@@ -487,7 +491,7 @@ def add(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 
 def sub(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     _check_compat(a, b)
-    assert a.size == b.size
+    errors.check_size(b.size, a.size, "sub")
     return Ciphertext(_sub_core(ctx, a.c, b.c, a.level), a.size, a.level, a.scale)
 
 
@@ -496,13 +500,15 @@ def negate(ctx, a: Ciphertext) -> Ciphertext:
 
 
 def add_plain(ctx, a: Ciphertext, pt: Plaintext) -> Ciphertext:
-    assert a.level == pt.level and abs(a.scale - pt.scale) <= 1e-6 * a.scale
+    errors.check_level(a.level, pt.level, "ciphertext/plaintext")
+    errors.check_scale(a.scale, pt.scale)
     c0 = _add_core(ctx, a.c[0], pt.m, a.level)
     return Ciphertext(a.c.at[0].set(c0), a.size, a.level, a.scale)
 
 
 def sub_plain(ctx, a: Ciphertext, pt: Plaintext) -> Ciphertext:
-    assert a.level == pt.level and abs(a.scale - pt.scale) <= 1e-6 * a.scale
+    errors.check_level(a.level, pt.level, "ciphertext/plaintext")
+    errors.check_scale(a.scale, pt.scale)
     c0 = _sub_core(ctx, a.c[0], pt.m, a.level)
     return Ciphertext(a.c.at[0].set(c0), a.size, a.level, a.scale)
 
@@ -522,8 +528,9 @@ def _mul_core(ctx, a, b, level):
 
 
 def multiply(ctx, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    assert a.level == b.level, "level mismatch (mod_drop first)"
-    assert a.size == 2 and b.size == 2
+    errors.check_level(a.level, b.level)
+    errors.check_size(a.size, 2, "multiply")
+    errors.check_size(b.size, 2, "multiply")
     return Ciphertext(_mul_core(ctx, a.c, b.c, a.level), 3, a.level,
                       a.scale * b.scale)
 
@@ -537,7 +544,7 @@ def _mul_plain_core(ctx, c, m, level):
 
 
 def multiply_plain(ctx, a: Ciphertext, pt: Plaintext) -> Ciphertext:
-    assert a.level == pt.level
+    errors.check_level(a.level, pt.level, "ciphertext/plaintext")
     return Ciphertext(_mul_plain_core(ctx, a.c, pt.m, a.level),
                       a.size, a.level, a.scale * pt.scale)
 
@@ -565,7 +572,9 @@ def _rescale_core(ctx, c, level, size):
 
 
 def rescale(ctx, a: Ciphertext) -> Ciphertext:
-    assert ctx.active(a.level) > 1, "no limb left to rescale"
+    if ctx.active(a.level) <= 1:
+        raise errors.LevelMismatchError(
+            "no limb left to rescale (ciphertext already at the last level)")
     out = _rescale_core(ctx, a.c, a.level, a.size)
     q_last = int(ctx.q_primes[ctx.active(a.level) - 1])
     return Ciphertext(out, a.size, a.level + 1, a.scale / q_last)
@@ -612,7 +621,7 @@ def _slice_key2(ctx, k_arr, ka: int, d_lvl: int):
 
 
 def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:
-    assert a.size == 3
+    errors.check_size(a.size, 3, "relinearize")
     d0, d1 = _keyswitch_poly(ctx, a.c[2], rk.k0, rk.k1, a.level)
     p = _p_at(ctx, a.level)
     return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p),
@@ -621,7 +630,7 @@ def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:
 
 
 def apply_galois(ctx, a: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
-    assert a.size == 2
+    errors.check_size(a.size, 2, "apply_galois")
     p = _p_at(ctx, a.level)
     g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
     g1 = polyops.apply_galois_ntt(a.c[1], gk1.perm_ntt)
@@ -658,7 +667,7 @@ def conjugate(ctx, a: Ciphertext, gk: GaloisKey) -> Ciphertext:
 
 
 def switch_key(ctx, a: Ciphertext, swk: KSKey) -> Ciphertext:
-    assert a.size == 2
+    errors.check_size(a.size, 2, "switch_key")
     d0, d1 = _keyswitch_poly(ctx, a.c[1], swk.k0, swk.k1, a.level)
     p = _p_at(ctx, a.level)
     return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p), d1]), 2, a.level, a.scale)

@@ -279,7 +279,7 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
             if g:
                 steps.add(g)
     gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
-    rk = ckks.keygen_relin(ctx, jax.random.fold_in(key, 1), sk)
+    rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
     return BootKeys(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
                     ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
                     mult_i=ckks.monomial_mult_tables(ctx, n // 2),

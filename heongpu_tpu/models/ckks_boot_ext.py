@@ -168,14 +168,14 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
             steps.add(j)
             j *= 2
     gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
-    rk = ckks.keygen_relin(ctx, jax.random.fold_in(key, 1), sk)
+    rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
     swk_to_sparse = swk_to_dense = None
     if sparse_hw is not None:
-        k_sp = jax.random.fold_in(key, 2)
+        k_sp = rng.fold_in(key, 2)
         sk_sp = ckks.keygen_secret(ctx, k_sp, hamming_weight=sparse_hw)
-        swk_to_sparse = ckks.keygen_switch(ctx, jax.random.fold_in(key, 3),
+        swk_to_sparse = ckks.keygen_switch(ctx, rng.fold_in(key, 3),
                                            sk, sk_sp)
-        swk_to_dense = ckks.keygen_switch(ctx, jax.random.fold_in(key, 4),
+        swk_to_dense = ckks.keygen_switch(ctx, rng.fold_in(key, 4),
                                           sk_sp, sk)
         assert cfg.K >= sparse_hw // 2 + 3, \
             "cfg.K must cover the sparse-key mod-raise overflow"

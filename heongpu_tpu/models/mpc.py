@@ -49,6 +49,7 @@ def crs_uniform(ring: RingView, seed: int, shape) -> jnp.ndarray:
 # Collective public key
 # ---------------------------------------------------------------------
 
+@rng.drbg_eager
 @jax.jit
 def pk_share(ring: RingView, sk: SecretKey, a, key):
     """Party share: -(a*s_i + e_i)  (reference threshold_pk_addition)."""
@@ -79,7 +80,7 @@ def relin_round1(ring: RingView, sk: SecretKey, a_d, key):
     """Round 1: d0_i = -u_i*a + s_i*g + e0, d1_i = s_i*a + e1.
     a_d: CRS of shape (d, k+p, n)."""
     k = ring.k
-    ke_u, ke0, ke1 = jax.random.split(key, 3)
+    ke_u, ke0, ke1 = rng.split(key, 3)
     p, pinv, r2, *_ = ring.base_qp.bview()
     u = rng.ternary_rns(ke_u, ring.qp_primes, (ring.n,))
     u_mont = mm.to_mont(nttm.ntt_fwd(u, ring.ntt_qp), p, pinv, r2)
@@ -104,7 +105,7 @@ def relin_round1(ring: RingView, sk: SecretKey, a_d, key):
 def relin_round2(ring: RingView, sk: SecretKey, eph: RelinEphemeral,
                  d0_sum, d1_sum, key):
     """Round 2: b_i = s_i*d0, c_i = (u_i - s_i)*d1 (fresh noise on each)."""
-    ke0, ke1 = jax.random.split(key)
+    ke0, ke1 = rng.split(key)
     k = ring.k
     p, pinv, *_ = ring.base_qp.bview()
     e2 = nttm.ntt_fwd(jnp.moveaxis(rng.gaussian_rns(ke0, ring.qp_primes, (k, ring.n)), 0, 1),
@@ -183,12 +184,12 @@ def _smudge_noise(key, primes, n, bits: int = SMUDGE_BITS):
     2^40; CKKS threshold decryption uses a smaller magnitude because the
     flooding error lands directly in the decoded fixed-point values."""
     if bits <= 30:
-        mag = jax.random.randint(key, (n,), -(1 << bits), 1 << bits, dtype=jnp.int32)
+        mag = rng.randint(key, (n,), -(1 << bits), 1 << bits)
         return rng.signed_to_rns(mag, primes)
-    mag = jax.random.randint(key, (n,), -(1 << 30), 1 << 30, dtype=jnp.int32)
+    mag = rng.randint(key, (n,), -(1 << 30), 1 << 30)
     lo = rng.signed_to_rns(mag, primes)
     hi_bits = bits - 30
-    mag2 = jax.random.randint(jax.random.fold_in(key, 1), (n,),
+    mag2 = rng.randint(rng.fold_in(key, 1), (n,),
                               0, 1 << hi_bits, dtype=jnp.int32)
     hi = rng.signed_to_rns(mag2, primes)
     p = jnp.asarray(np.asarray(primes, np.uint32))[:, None]
@@ -254,12 +255,12 @@ def bfv_colboot_participant(ctx: bfv.BfvContext, sk: SecretKey, ct,
     plaintext M_i, plus a fresh encryption share of M_i under the common 'a'
     (reference distributed_bootstrapping_participant, mpcmanager.cu:1564)."""
     ring = bfv._ring(ctx)
-    k_m, k_e1, k_e2 = jax.random.split(key, 3)
+    k_m, k_e1, k_e2 = rng.split(key, 3)
     a = crs_uniform(ring, common_seed, (ctx.n,))[: ctx.k]  # over Q only
     qb = ctx.base_q
     p, pinv, *_ = qb.bview()
     # random mask plaintext
-    M = jax.random.randint(k_m, (ctx.n,), 0, ctx.t, dtype=jnp.int32).astype(jnp.uint32)
+    M = rng.randint(k_m, (ctx.n,), 0, ctx.t).astype(jnp.uint32)
     # h0 = c1*s_i + e - Delta*M
     tb = ctx.ntt_qp.slice_limbs(0, ctx.k)
     c1s = nttm.ntt_inv(mm.mont_mul(nttm.ntt_fwd(ct.c[1], tb),
@@ -303,13 +304,13 @@ def ckks_colboot_participant(ctx: ckks.CkksContext, sk: SecretKey, ct,
     message (statistical hiding), shares at the ct's level; the coordinator
     re-encrypts at level 0 (col_boot_*_ckks kernels)."""
     ring = ckks._ring(ctx)
-    k_m, k_e1, k_e2 = jax.random.split(key, 3)
+    k_m, k_e1, k_e2 = rng.split(key, 3)
     lvl = ct.level
     ka = ctx.active(lvl)
     qb = ctx.base_q_at(lvl)
     p, pinv, *_ = qb.bview()
     # mask: uniform mod the level's primes — both at level and at level 0
-    mask_int = jax.random.randint(k_m, (ctx.n,), -(1 << 30), 1 << 30, jnp.int32)
+    mask_int = rng.randint(k_m, (ctx.n,), -(1 << 30), 1 << 30)
     mask_lvl = nttm.ntt_fwd(rng.signed_to_rns(mask_int, ctx.q_primes[:ka]),
                             ctx.ntt_q(lvl))
     mask_full = nttm.ntt_fwd(rng.signed_to_rns(mask_int, ctx.q_primes),

@@ -119,6 +119,7 @@ class RingView:
         return len(self.q_primes)
 
 
+@rng.drbg_eager
 @partial(jax.jit, static_argnames=("hamming_weight",))
 def keygen_secret(ring: RingView, key, hamming_weight: Optional[int] = None) -> SecretKey:
     hw = ring.n // 2 if hamming_weight is None else hamming_weight
@@ -129,9 +130,10 @@ def keygen_secret(ring: RingView, key, hamming_weight: Optional[int] = None) -> 
     return SecretKey(s, mm.to_mont(s_ntt, p, pinv, r2), hw)
 
 
+@rng.drbg_eager
 @jax.jit
 def keygen_public(ring: RingView, key, sk: SecretKey) -> PublicKey:
-    ka, ke = jax.random.split(key)
+    ka, ke = rng.split(key)
     a = rng.uniform_rns(ka, ring.qp_primes, (ring.n,))  # NTT domain
     e = nttm.ntt_fwd(rng.gaussian_rns(ke, ring.qp_primes, (ring.n,)), ring.ntt_qp)
     p, pinv, r2, *_ = ring.base_qp.bview()
@@ -140,6 +142,7 @@ def keygen_public(ring: RingView, key, sk: SecretKey) -> PublicKey:
     return PublicKey(mm.to_mont(pk0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
+@rng.drbg_eager
 @partial(jax.jit, static_argnames=("groups",))
 def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont,
               groups=None) -> KSKey:
@@ -154,7 +157,7 @@ def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont,
     d = len(groups)
     P = _prod(ring.p_primes)
     p, pinv, r2, *_ = ring.base_qp.bview()
-    ka, ke = jax.random.split(key)
+    ka, ke = rng.split(key)
     a = jnp.moveaxis(rng.uniform_rns(ka, ring.qp_primes, (d, n)), 0, 1)
     e = nttm.ntt_fwd(jnp.moveaxis(rng.gaussian_rns(ke, ring.qp_primes, (d, n)), 0, 1),
                      ring.ntt_qp)
@@ -170,6 +173,7 @@ def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont,
     return KSKey(mm.to_mont(k0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
+@rng.drbg_eager
 @partial(jax.jit, static_argnames=("groups",))
 def keygen_relin(ring: RingView, key, sk: SecretKey, groups=None) -> KSKey:
     p, pinv, *_ = ring.base_qp.bview()
@@ -177,12 +181,14 @@ def keygen_relin(ring: RingView, key, sk: SecretKey, groups=None) -> KSKey:
     return ks_keygen(ring, key, sk, s2_mont, groups=groups)
 
 
+@rng.drbg_eager
 @partial(jax.jit, static_argnames=("groups",))
 def keygen_switch(ring: RingView, key, sk_old: SecretKey, sk_new: SecretKey,
                   groups=None) -> KSKey:
     return ks_keygen(ring, key, sk_new, sk_old.s_ntt_mont_qp, groups=groups)
 
 
+@rng.drbg_eager
 @partial(jax.jit, static_argnames=("groups",))
 def _galois_keygen_core(ring: RingView, key, sk: SecretKey, src, neg, groups=None):
     s_g = polyops.apply_galois_coeff(
@@ -217,7 +223,7 @@ def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
     gl = [polyops.steps_to_galois_elt(s, n) for s in (steps or [])]
     gl += [int(g) for g in (elts or [])]
     keys = {}
-    subkeys = jax.random.split(key, len(gl) + 1)
+    subkeys = rng.split(key, len(gl) + 1)
     for sk_i, g in zip(subkeys[:-1], gl):
         if g not in keys:
             keys[g] = keygen_galois_one(ring, sk_i, sk, g, groups=groups)

@@ -151,14 +151,14 @@ class Ciphertext:
 
 
 def keygen_secret(key) -> SecretKey:
-    k1, k2 = jax.random.split(key)
-    lwe = jax.random.randint(k1, (LWE_N,), 0, 2, dtype=jnp.int32).astype(U32)
-    rlwe = jax.random.randint(k2, (TRLWE_N,), 0, 2, dtype=jnp.int32).astype(U32)
+    k1, k2 = rng.split(key)
+    lwe = rng.randint(k1, (LWE_N,), 0, 2).astype(U32)
+    rlwe = rng.randint(k2, (TRLWE_N,), 0, 2).astype(U32)
     return SecretKey(lwe, rlwe)
 
 
 def _torus_noise(key, shape, sigma):
-    g = jax.random.normal(key, shape, jnp.float32) * (sigma * (2.0 ** 32))
+    g = rng.normal(key, shape) * (sigma * (2.0 ** 32))
     return jnp.round(g).astype(jnp.int32).astype(U32)
 
 
@@ -209,7 +209,7 @@ def keygen_boot(ctx: TfheContext, key, sk: SecretKey) -> BootKey:
     """Bootstrapping key (TGSW(s_lwe_i) under rlwe key, NTT domain) + LWE
     keyswitch key.  Reference analog: keygenerator.cu:61-180."""
     n, N, l = ctx.n, ctx.N, ctx.l
-    k_bk_a, k_bk_e, k_ks_a, k_ks_e = jax.random.split(key, 4)
+    k_bk_a, k_bk_e, k_ks_a, k_ks_e = rng.split(key, 4)
 
     s_rns = rng.signed_to_rns(sk.rlwe.astype(jnp.int32), ctx.primes)
     p = ctx.ntt.p[:, None]
@@ -219,7 +219,7 @@ def keygen_boot(ctx: TfheContext, key, sk: SecretKey) -> BootKey:
 
     rows = (ctx.k + 1) * l                       # 4
     # TRLWE(0) for every (i, row): a uniform torus poly, b = a*s + e
-    a = jax.random.bits(k_bk_a, (n, rows, N), dtype=U32)
+    a = rng.bits32(k_bk_a, (n, rows, N))
     e = _torus_noise(k_bk_e, (n, rows, N), SIGMA_BK)
     b = _polymul_rlwe_key_torus(ctx, a, s_ntt_mont) + e   # uint32 wrap
     # gadget: row (c, p) adds the constant s_i * 2^(32-(p+1)*bgbit) to
@@ -239,7 +239,7 @@ def keygen_boot(ctx: TfheContext, key, sk: SecretKey) -> BootKey:
 
     # keyswitch key: LWE_n( v * s'_j * 2^(32-(t+1)*basebit) )
     base = 1 << ctx.ks_base_bit
-    ksk_a = jax.random.bits(k_ks_a, (N, ctx.ks_length, base, n), dtype=U32)
+    ksk_a = rng.bits32(k_ks_a, (N, ctx.ks_length, base, n))
     e_ks = _torus_noise(k_ks_e, (N, ctx.ks_length, base), SIGMA_KS)
     shift = jnp.asarray(
         np.array([1 << (32 - (t + 1) * ctx.ks_base_bit)
@@ -261,8 +261,8 @@ def encrypt(ctx: TfheContext, sk: SecretKey, bits, key) -> Ciphertext:
     """bits: (B,) bools -> batched LWE with mu = ±1/8."""
     bits = jnp.asarray(bits)
     B = bits.shape[0]
-    ka, ke = jax.random.split(key)
-    a = jax.random.bits(ka, (B, ctx.n), dtype=U32)
+    ka, ke = rng.split(key)
+    a = rng.bits32(ka, (B, ctx.n))
     e = _torus_noise(ke, (B,), SIGMA_KS)
     mu = jnp.where(bits, MU, jnp.uint32(-np.int64(MU) & 0xFFFFFFFF))
     b = jnp.sum(a * sk.lwe[None, :], axis=-1) + mu + e
@@ -424,6 +424,10 @@ def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
             acc = mm.add_mod(acc, ext, p)
         return renorm(acc)
 
+    if ctx.n % _RENORM != 0:
+        raise ValueError(
+            f"TFHE lwe dimension n={ctx.n} must be a multiple of the CMux "
+            f"renormalisation period {_RENORM}; tail steps would be dropped")
     acc = jax.lax.fori_loop(0, ctx.n // _RENORM, outer, acc)
     acc = _rns_to_torus(ctx, nttm.ntt_inv(acc, ctx.ntt))  # (B, 2, N) torus
 

@@ -45,11 +45,12 @@ class HUint:
 
 def _cat(*cts: tfhe.Ciphertext) -> tfhe.Ciphertext:
     return tfhe.Ciphertext(jnp.concatenate([c.a for c in cts]),
-                           jnp.concatenate([c.b for c in cts]))
+                           jnp.concatenate([c.b for c in cts]),
+                           variance=max(c.variance for c in cts))
 
 
 def _slc(ct: tfhe.Ciphertext, lo: int, hi: int) -> tfhe.Ciphertext:
-    return tfhe.Ciphertext(ct.a[lo:hi], ct.b[lo:hi])
+    return tfhe.Ciphertext(ct.a[lo:hi], ct.b[lo:hi], variance=ct.variance)
 
 
 def _trivial(nbits: int, value: bool) -> tfhe.Ciphertext:
@@ -60,18 +61,23 @@ def _trivial(nbits: int, value: bool) -> tfhe.Ciphertext:
 
 
 # ---- batched linear pre-computations (reference tfhe_*_pre_comp kernels) ----
+# Variance bookkeeping mirrors tfhe.py's gate wrappers: linear combines sum
+# variances; the XOR pre-comp's x2 coefficients quadruple them.
 
 def _pre_and(c1, c2):
-    return tfhe.Ciphertext(c1.a + c2.a, c1.b + c2.b - MU)
+    return tfhe.Ciphertext(c1.a + c2.a, c1.b + c2.b - MU,
+                           variance=c1.variance + c2.variance)
 
 
 def _pre_or(c1, c2):
-    return tfhe.Ciphertext(c1.a + c2.a, c1.b + c2.b + MU)
+    return tfhe.Ciphertext(c1.a + c2.a, c1.b + c2.b + MU,
+                           variance=c1.variance + c2.variance)
 
 
 def _pre_xor(c1, c2):
     two = jnp.uint32(2)
-    return tfhe.Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU)
+    return tfhe.Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU,
+                           variance=4 * (c1.variance + c2.variance))
 
 
 def encrypt_huint(ctx, sk, values, width: int, key) -> HUint:
@@ -106,10 +112,12 @@ def _shift_gp(g: tfhe.Ciphertext, p: tfhe.Ciphertext, count: int, width: int,
     pad_b = pad.b.reshape(count, offset)
     gs = tfhe.Ciphertext(
         jnp.concatenate([pad_a, ga[:, :width - offset]], axis=1).reshape(g.a.shape),
-        jnp.concatenate([pad_b, gb[:, :width - offset]], axis=1).reshape(g.b.shape))
+        jnp.concatenate([pad_b, gb[:, :width - offset]], axis=1).reshape(g.b.shape),
+        variance=g.variance)
     ps = tfhe.Ciphertext(
         jnp.concatenate([pad_a, pa[:, :width - offset]], axis=1).reshape(p.a.shape),
-        jnp.concatenate([pad_b, pb[:, :width - offset]], axis=1).reshape(p.b.shape))
+        jnp.concatenate([pad_b, pb[:, :width - offset]], axis=1).reshape(p.b.shape),
+        variance=p.variance)
     return gs, ps
 
 
@@ -132,14 +140,17 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
     if carry_in is not None:
         cin = carry_in  # (count,) batch
         p0 = tfhe.Ciphertext(p.a.reshape(count, width, -1)[:, 0],
-                             p.b.reshape(count, width)[:, 0])
+                             p.b.reshape(count, width)[:, 0],
+                             variance=p.variance)
         t = tfhe.bootstrap_raw(ctx, bk, _pre_and(p0, cin))
         g0 = tfhe.Ciphertext(g.a.reshape(count, width, -1)[:, 0],
-                             g.b.reshape(count, width)[:, 0])
+                             g.b.reshape(count, width)[:, 0],
+                             variance=g.variance)
         g0n = tfhe.bootstrap_raw(ctx, bk, _pre_or(g0, t))
         ga = g.a.reshape(count, width, -1).at[:, 0].set(g0n.a)
         gb = g.b.reshape(count, width).at[:, 0].set(g0n.b)
-        g = tfhe.Ciphertext(ga.reshape(g.a.shape), gb.reshape(g.b.shape))
+        g = tfhe.Ciphertext(ga.reshape(g.a.shape), gb.reshape(g.b.shape),
+                            variance=max(g.variance, g0n.variance))
 
     # Kogge-Stone prefix: after the loop, g[i] = carry OUT of position i
     offset = 1
@@ -162,15 +173,18 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
     carry_b = jnp.concatenate([pad.b.reshape(count, 1),
                                gb[:, :width - 1]], axis=1)
     carries = tfhe.Ciphertext(carry_a.reshape(-1, tfhe.LWE_N),
-                              carry_b.reshape(-1))
+                              carry_b.reshape(-1), variance=g.variance)
     if carry_in is not None:
         # c_0 = carry_in exactly
         ca = carries.a.reshape(count, width, -1).at[:, 0].set(carry_in.a)
         cb = carries.b.reshape(count, width).at[:, 0].set(carry_in.b)
-        carries = tfhe.Ciphertext(ca.reshape(-1, tfhe.LWE_N), cb.reshape(-1))
+        carries = tfhe.Ciphertext(ca.reshape(-1, tfhe.LWE_N), cb.reshape(-1),
+                                  variance=max(carries.variance,
+                                               carry_in.variance))
 
     s = tfhe.bootstrap_raw(ctx, bk, _pre_xor(p_orig, carries))
-    carry_out = tfhe.Ciphertext(ga[:, width - 1], gb[:, width - 1])
+    carry_out = tfhe.Ciphertext(ga[:, width - 1], gb[:, width - 1],
+                                variance=g.variance)
     return s, carry_out
 
 
@@ -215,19 +229,22 @@ def eq(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
         a_ = cur.a.reshape(C, width, -1)
         b_ = cur.b.reshape(C, width)
         lo = tfhe.Ciphertext(a_[:, :half].reshape(-1, tfhe.LWE_N),
-                             b_[:, :half].reshape(-1))
+                             b_[:, :half].reshape(-1), variance=cur.variance)
         hi = tfhe.Ciphertext(a_[:, half:2 * half].reshape(-1, tfhe.LWE_N),
-                             b_[:, half:2 * half].reshape(-1))
+                             b_[:, half:2 * half].reshape(-1),
+                             variance=cur.variance)
         merged = tfhe.bootstrap_raw(ctx, bk, _pre_or(lo, hi))
         if width % 2:
             tail = tfhe.Ciphertext(a_[:, -1:].reshape(-1, tfhe.LWE_N),
-                                   b_[:, -1:].reshape(-1))
+                                   b_[:, -1:].reshape(-1),
+                                   variance=cur.variance)
             ma = merged.a.reshape(C, half, -1)
             mb = merged.b.reshape(C, half)
             merged = tfhe.Ciphertext(
                 jnp.concatenate([ma, tail.a.reshape(C, 1, -1)], axis=1
                                 ).reshape(-1, tfhe.LWE_N),
-                jnp.concatenate([mb, tail.b.reshape(C, 1)], axis=1).reshape(-1))
+                jnp.concatenate([mb, tail.b.reshape(C, 1)], axis=1).reshape(-1),
+                variance=max(merged.variance, tail.variance))
             width = half + 1
         else:
             width = half

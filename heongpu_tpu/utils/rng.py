@@ -15,6 +15,7 @@ prime would be unusably biased).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -22,9 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import modmath as mm
+from . import drbg as _drbg
 
 ERROR_STD_DEV = 3.2  # sigma of the centered discrete gaussian (reference secstdparams.h)
 GAUSS_TAIL = 6  # truncate at 6 sigma like common HE implementations
+
+CtrDrbg = _drbg.CtrDrbg
 
 
 def new_key(seed: int | None = None) -> jax.Array:
@@ -33,6 +37,83 @@ def new_key(seed: int | None = None) -> jax.Array:
     if seed is None:
         seed = int.from_bytes(os.urandom(8), "little") >> 1
     return jax.random.PRNGKey(seed)
+
+
+def new_drbg(entropy: bytes | None = None,
+             personalization: bytes = b"") -> _drbg.CtrDrbg:
+    """NIST SP 800-90A AES-CTR DRBG mode of the facade (reference RNGonGPU's
+    SecurityLevel::AES128 backend, util/random.cuh:52).  The returned object
+    is accepted by every sampler in this module in place of a jax key;
+    sampling then happens host-side (keygen-rate).  Threefry (new_key) stays
+    the default for bulk speed."""
+    return _drbg.CtrDrbg(entropy, personalization)
+
+
+def is_drbg(key) -> bool:
+    return isinstance(key, _drbg.CtrDrbg)
+
+
+def drbg_eager(fn):
+    """Decorator for jitted entry points taking a PRNG key: when the caller
+    passes a CtrDrbg, run the wrapped function eagerly (the stateful DRBG
+    cannot be traced)."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if any(is_drbg(a) for a in args) or any(is_drbg(v) for v in kwargs.values()):
+            with jax.disable_jit():
+                return fn(*args, **kwargs)
+        return fn(*args, **kwargs)
+    return wrapper
+
+
+# --- key-plumbing primitives, DRBG-aware (the single sampling facade) ---
+
+def split(key, num: int = 2):
+    """jax.random.split that passes a DRBG through (its state IS the stream)."""
+    if is_drbg(key):
+        return (key,) * num
+    return jax.random.split(key, num)
+
+
+def fold_in(key, data: int):
+    if is_drbg(key):
+        return key
+    return jax.random.fold_in(key, data)
+
+
+def bits32(key, shape) -> jnp.ndarray:
+    """Raw uniform 32-bit words (facade for jax.random.bits; reference
+    uniform_random_number_generation)."""
+    if is_drbg(key):
+        n = int(np.prod(shape)) if len(shape) else 1
+        return jnp.asarray(key.bits32(n).reshape(shape))
+    return jax.random.bits(key, tuple(shape), dtype=jnp.uint32)
+
+
+def randint(key, shape, lo: int, hi: int, dtype=jnp.int32) -> jnp.ndarray:
+    if is_drbg(key):
+        n = int(np.prod(shape)) if len(shape) else 1
+        span = hi - lo
+        u = key.bits64(n)
+        return jnp.asarray((lo + (u % span)).astype(np.int64).reshape(shape), dtype)
+    return jax.random.randint(key, tuple(shape), lo, hi, dtype=dtype)
+
+
+def normal(key, shape, dtype=jnp.float32) -> jnp.ndarray:
+    if is_drbg(key):
+        n = int(np.prod(shape)) if len(shape) else 1
+        # Box-Muller over DRBG uniforms in (0, 1]
+        u1 = (key.bits64(n).astype(np.float64) + 1.0) / 2.0 ** 64
+        u2 = key.bits64(n).astype(np.float64) / 2.0 ** 64
+        g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+        return jnp.asarray(g.reshape(shape), dtype)
+    return jax.random.normal(key, tuple(shape), dtype)
+
+
+def permutation(key, n: int) -> jnp.ndarray:
+    if is_drbg(key):
+        return jnp.asarray(np.argsort(key.bits64(n)).astype(np.int32))
+    return jax.random.permutation(key, n)
 
 
 def _prime_consts(primes):
@@ -51,9 +132,9 @@ def uniform_rns(key, primes, shape) -> jnp.ndarray:
     p, mu, r1, r1s = _prime_consts(primes)
     L = p.shape[0]
     full = (L,) + tuple(shape)
-    k_hi, k_lo = jax.random.split(key)
-    hi = jax.random.bits(k_hi, full, dtype=jnp.uint32)
-    lo = jax.random.bits(k_lo, full, dtype=jnp.uint32)
+    k_hi, k_lo = split(key)
+    hi = bits32(k_hi, full)
+    lo = bits32(k_lo, full)
     bshape = (L,) + (1,) * len(shape)
     return mm.reduce64(hi, lo, p.reshape(bshape), mu.reshape(bshape),
                        r1.reshape(bshape), r1s.reshape(bshape))
@@ -75,7 +156,7 @@ def gaussian_rns(key, primes, shape, sigma: float = ERROR_STD_DEV) -> jnp.ndarra
     """Centered discrete gaussian (sigma=3.2), same noise on every limb."""
     p, _, _, _ = _prime_consts(primes)
     L = p.shape[0]
-    g = jax.random.normal(key, tuple(shape), dtype=jnp.float32) * sigma
+    g = normal(key, tuple(shape)) * sigma
     e = jnp.clip(jnp.round(g), -GAUSS_TAIL * sigma, GAUSS_TAIL * sigma).astype(jnp.int32)
     bshape = (L,) + (1,) * len(shape)
     return _lift_signed(e[None], p.reshape(bshape))
@@ -85,7 +166,7 @@ def ternary_rns(key, primes, shape) -> jnp.ndarray:
     """Uniform ternary {-1, 0, 1}, lifted to every limb."""
     p, _, _, _ = _prime_consts(primes)
     L = p.shape[0]
-    u = jax.random.randint(key, tuple(shape), 0, 3, dtype=jnp.int32) - 1
+    u = randint(key, tuple(shape), 0, 3) - 1
     bshape = (L,) + (1,) * len(shape)
     return _lift_signed(u[None], p.reshape(bshape))
 
@@ -95,9 +176,9 @@ def ternary_hw(key, n: int, hamming_weight: int) -> jnp.ndarray:
 
     Mirrors the reference secret key default hw = n/2
     (src/lib/host/bfv/secretkey.cu:23)."""
-    k_pos, k_sign = jax.random.split(key)
-    perm = jax.random.permutation(k_pos, n)
-    signs = jax.random.randint(k_sign, (n,), 0, 2, dtype=jnp.int32) * 2 - 1
+    k_pos, k_sign = split(key)
+    perm = permutation(k_pos, n)
+    signs = randint(k_sign, (n,), 0, 2) * 2 - 1
     mask = jnp.zeros((n,), jnp.int32).at[perm[:hamming_weight]].set(1)
     return mask * signs
 

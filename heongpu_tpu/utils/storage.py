@@ -73,6 +73,11 @@ def run_with_storage(fn, inputs, opts: ExecutionOptions = ExecutionOptions()):
     originals keep their residency automatically — the reference's
     keep_initial_condition=True behavior is inherent (False-style in-place
     conversion has no analog; drop your host copy instead)."""
+    if not opts.keep_initial_condition:
+        raise ValueError(
+            "keep_initial_condition=False has no JAX analog: arrays are "
+            "immutable, so inputs are never converted in place.  Drop your "
+            "host copy after the call instead.")
     dev_inputs = [to_device(t, opts.device) for t in inputs]
     out = fn(*dev_inputs)
     return to_storage(out, opts)

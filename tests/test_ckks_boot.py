@@ -1,11 +1,15 @@
 """CKKS regular bootstrapping end-to-end (reference example/bootstrapping
 accuracy-demo analog, asserted with loose tolerances)."""
 
+import functools
+
 import numpy as np
 import pytest
 
 from heongpu_tpu.models import ckks, ckks_boot
 from heongpu_tpu.utils import rng
+
+pytestmark = pytest.mark.slow
 
 N = 256
 DEPTH = 19  # chain length: q0 + scale primes
@@ -22,12 +26,13 @@ def _setup():
     return ctx, sk, pk, keys
 
 
-CTX, SK, PK, KEYS = _setup()
+_setup = functools.lru_cache()(_setup)
 RNGN = np.random.default_rng(99)
 
 
 def test_mod_raise_roundtrip():
     """Raised plaintext coefficients are congruent to the originals mod q0."""
+    CTX, SK, PK, KEYS = _setup()
     from heongpu_tpu.ops import ntt as nttm
     from heongpu_tpu.utils import nt
 
@@ -58,6 +63,7 @@ def test_mod_raise_roundtrip():
 
 def test_coeff_to_slot_then_back():
     """StoC(CtoS(x)) == c_in * c_out * x (the folded constants compose)."""
+    CTX, SK, PK, KEYS = _setup()
     z = RNGN.uniform(-0.5, 0.5, CTX.n // 2)
     ct = ckks.encrypt(CTX, PK, ckks.encode(CTX, z), rng.new_key(65))
     t0, t1 = ckks_boot.coeff_to_slot(CTX, ct, KEYS)
@@ -69,6 +75,7 @@ def test_coeff_to_slot_then_back():
 
 
 def test_regular_bootstrap():
+    CTX, SK, PK, KEYS = _setup()
     z = RNGN.uniform(-0.5, 0.5, CTX.n // 2)
     ct = ckks.encrypt(CTX, PK, ckks.encode(CTX, z), rng.new_key(66))
     ct = ckks.mod_drop(CTX, ct, CTX.k - 1)

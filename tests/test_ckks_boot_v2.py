@@ -8,6 +8,8 @@ import pytest
 from heongpu_tpu.models import ckks, ckks_boot_ext
 from heongpu_tpu.utils import rng
 
+pytestmark = pytest.mark.slow
+
 N = 256
 DEPTH = 19
 CFG = ckks_boot_ext.BootConfigV2(cos_degree=24, double_angles=5, K=12)

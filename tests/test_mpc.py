@@ -1,44 +1,49 @@
 """Multiparty computation tests: 3 parties simulated in-process (the
 reference's example/mpc pattern — SURVEY §3.6)."""
 
+import functools
+
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from heongpu_tpu.models import bfv, ckks, mpc, ringkit
 from heongpu_tpu.utils import rng, params
 
+pytestmark = pytest.mark.slow
+
 N_PARTIES = 3
 SEED_CRS = 777
-
-T = params.plain_modulus_for(1024, 20)
-BCTX = bfv.make_context(1024, T, q_bits=[29, 29, 29], sec_level="none")
-BRING = bfv._ring(BCTX)
-BSKS = [ringkit.keygen_secret(BRING, rng.new_key(200 + i)) for i in range(N_PARTIES)]
-
-# collective public key
-_A = mpc.crs_uniform(BRING, SEED_CRS, (BCTX.n,))
-_BPK = mpc.pk_assemble(
-    BRING, [mpc.pk_share(BRING, sk, _A, rng.new_key(210 + i))
-            for i, sk in enumerate(BSKS)], _A)
 
 RNGN = np.random.default_rng(55)
 
 
-def _joint_sk():
-    """The implicit joint key sum(s_i) — only for test oracles."""
+@functools.lru_cache()
+def _setup():
+    """Collective BFV context, party keys, joint pk, and the implicit joint
+    secret key sum(s_i) (oracle only) — built lazily so the fast CI set does
+    not pay for MPC keygen at collection time."""
+    T = params.plain_modulus_for(1024, 20)
+    BCTX = bfv.make_context(1024, T, q_bits=[29, 29, 29], sec_level="none")
+    BRING = bfv._ring(BCTX)
+    BSKS = [ringkit.keygen_secret(BRING, rng.new_key(200 + i))
+            for i in range(N_PARTIES)]
+    _A = mpc.crs_uniform(BRING, SEED_CRS, (BCTX.n,))
+    _BPK = mpc.pk_assemble(
+        BRING, [mpc.pk_share(BRING, sk, _A, rng.new_key(210 + i))
+                for i, sk in enumerate(BSKS)], _A)
     s_sum = sum(np.asarray(sk.s_coeff) for sk in BSKS)
     s_rns = rng.signed_to_rns(jnp.asarray(s_sum.astype(np.int32)), BRING.qp_primes)
     from heongpu_tpu.ops import ntt as nttm, modmath as mm
     p, pinv, r2, *_ = BRING.base_qp.bview()
     s_ntt = nttm.ntt_fwd(s_rns, BRING.ntt_qp)
-    return ringkit.SecretKey(jnp.asarray(s_sum.astype(np.int32)),
-                             mm.to_mont(s_ntt, p, pinv, r2), 0)
-
-
-JOINT = _joint_sk()
+    JOINT = ringkit.SecretKey(jnp.asarray(s_sum.astype(np.int32)),
+                              mm.to_mont(s_ntt, p, pinv, r2), 0)
+    return BCTX, BRING, BSKS, _BPK, JOINT
 
 
 def test_collective_pk_threshold_decrypt():
+    BCTX, BRING, BSKS, _BPK, JOINT = _setup()
     m = RNGN.integers(0, BCTX.t, size=BCTX.n, dtype=np.int64)
     ct = bfv.encrypt(BCTX, _BPK, bfv.encode(BCTX, m), rng.new_key(220))
     partials = [mpc.bfv_decrypt_partial(BCTX, sk, ct, rng.new_key(230 + i))
@@ -48,6 +53,7 @@ def test_collective_pk_threshold_decrypt():
 
 
 def test_collective_relin_2round():
+    BCTX, BRING, BSKS, _BPK, JOINT = _setup()
     m1 = RNGN.integers(0, BCTX.t, size=BCTX.n, dtype=np.int64)
     m2 = RNGN.integers(0, BCTX.t, size=BCTX.n, dtype=np.int64)
     a_d = mpc.relin_crs(BRING, SEED_CRS + 1)
@@ -77,6 +83,7 @@ def test_collective_relin_2round():
 
 
 def test_collective_galois():
+    BCTX, BRING, BSKS, _BPK, JOINT = _setup()
     m = RNGN.integers(0, BCTX.t, size=BCTX.n, dtype=np.int64)
     from heongpu_tpu.ops import polyops
     g = polyops.steps_to_galois_elt(1, BCTX.n)
@@ -96,6 +103,7 @@ def test_collective_galois():
 
 
 def test_bfv_collective_bootstrap():
+    BCTX, BRING, BSKS, _BPK, JOINT = _setup()
     m = RNGN.integers(0, BCTX.t, size=BCTX.n, dtype=np.int64)
     ct = bfv.encrypt(BCTX, _BPK, bfv.encode(BCTX, m), rng.new_key(300))
     shares = [mpc.bfv_colboot_participant(BCTX, sk, ct, SEED_CRS + 3,
@@ -113,6 +121,7 @@ def test_bfv_collective_bootstrap():
 
 
 def test_ckks_collective_pk_and_bootstrap():
+    BCTX, BRING, BSKS, _BPK, JOINT = _setup()
     cctx = ckks.make_context(1024, [29, 25, 25, 25], sec_level="none")
     cring = ckks._ring(cctx)
     sks = [ringkit.keygen_secret(cring, rng.new_key(400 + i)) for i in range(N_PARTIES)]

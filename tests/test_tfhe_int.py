@@ -7,6 +7,8 @@ import pytest
 from heongpu_tpu.models import tfhe, tfhe_int
 from heongpu_tpu.utils import rng
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():
