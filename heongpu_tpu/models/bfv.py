@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
-from ..ops import keyswitch2, polyops, rns
+from ..ops import compose, df64, keyswitch2, polyops, rns
 from ..utils import errors, nt, rng
 from ..utils.params import default_coeff_modulus, validate_security
 from . import ringkit
@@ -297,11 +297,10 @@ def make_context(n: int,
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["c", "noise_seed"], meta_fields=["size", "in_ntt"])
+         data_fields=["c"], meta_fields=["size", "in_ntt"])
 @dataclasses.dataclass(frozen=True)
 class Ciphertext:
     c: jnp.ndarray  # (size, k, n) uint32, coefficient domain unless in_ntt
-    noise_seed: Optional[jnp.ndarray]
     size: int
     in_ntt: bool
 
@@ -347,8 +346,8 @@ def keygen_secret(ctx: BfvContext, key, hamming_weight=None) -> SecretKey:
     return ringkit.keygen_secret(_ring(ctx), key, hamming_weight)
 
 
-def keygen_public(ctx: BfvContext, key, sk: SecretKey) -> PublicKey:
-    return ringkit.keygen_public(_ring(ctx), key, sk)
+def keygen_public(ctx: BfvContext, key, sk: SecretKey, a_seed=None) -> PublicKey:
+    return ringkit.keygen_public(_ring(ctx), key, sk, a_seed=a_seed)
 
 
 def _groups(ctx):
@@ -358,14 +357,15 @@ def _groups(ctx):
     return None
 
 
-def keygen_relin(ctx: BfvContext, key, sk: SecretKey) -> KSKey:
-    return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx))
+def keygen_relin(ctx: BfvContext, key, sk: SecretKey, a_seed=None) -> KSKey:
+    return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx),
+                                a_seed=a_seed)
 
 
 def keygen_galois(ctx: BfvContext, key, sk: SecretKey, steps=None,
-                  max_shift: int = 8, elts=None) -> GaloisKey:
+                  max_shift: int = 8, elts=None, a_seed=None) -> GaloisKey:
     return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 groups=_groups(ctx), elts=elts)
+                                 groups=_groups(ctx), elts=elts, a_seed=a_seed)
 
 
 def keygen_switch(ctx: BfvContext, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
@@ -414,7 +414,7 @@ def encrypt(ctx: BfvContext, pk: PublicKey, plain, key) -> Ciphertext:
     e1 = rng.gaussian_rns(k1, ctx.q_primes, (ctx.n,))
     c0 = mm.add_mod(mm.add_mod(c0, e0, qb.p[:, None]), _plain_lift(ctx, plain), qb.p[:, None])
     c1 = mm.add_mod(c1, e1, qb.p[:, None])
-    return Ciphertext(jnp.stack([c0, c1]), None, 2, False)
+    return Ciphertext(jnp.stack([c0, c1]), 2, False)
 
 
 def _ct_dot_sk(ctx: BfvContext, ct: Ciphertext, sk: SecretKey):
@@ -469,21 +469,27 @@ def decrypt(ctx: BfvContext, sk: SecretKey, ct: Ciphertext) -> jnp.ndarray:
 
 
 def noise_budget(ctx: BfvContext, sk: SecretKey, ct: Ciphertext) -> float:
-    """Bits of remaining noise budget (host big-int compose — diagnostic path,
-    mirrors reference HEDecryptor::remainder_noise_budget)."""
-    y = np.asarray(_ct_dot_sk(ctx, ct, sk))
+    """Bits of remaining noise budget, all on device — the TPU analog of the
+    reference's compose_kernel + find_max_norm_kernel block reduction
+    (src/lib/kernel/decryption.cu).  Large noise is measured by the
+    fractional-sum log2 (ops/compose.py frac_log2_norm, exact to ~2^-44
+    relative); once the noise is small enough to escape that window the
+    gamma-pair exact compose takes over."""
+    y = _ct_dot_sk(ctx, ct, sk)
     m = decrypt(ctx, sk, ct)
-    lift = np.asarray(_plain_lift(ctx, m))
-    qb_p = np.array(ctx.q_primes, np.uint64)
-    diff = (y.astype(np.int64) - lift.astype(np.int64)) % qb_p[:, None]
-    Q = _prod(ctx.q_primes)
-    max_norm = 0
-    for col in range(ctx.n):
-        v = nt.crt_compose([int(diff[i, col]) for i in range(ctx.k)], list(ctx.q_primes))
-        max_norm = max(max_norm, abs(v))
+    lift = _plain_lift(ctx, m)
+    diff = mm.sub_mod(y, lift, ctx.base_q.p[:, None])
+    primes = tuple(int(q) for q in ctx.q_primes)
+    tabs = compose.build_tables(primes)
+    logq = math.log2(_prod(ctx.q_primes))
+    big = float(compose.frac_log2_norm(diff, primes, tabs))
+    if big > logq - 44:
+        return max(0.0, logq - 1.0 - big)
+    v = df64.to_f64(compose.compose_small(diff, primes, tabs))
+    max_norm = float(np.max(np.abs(v)))
     if max_norm == 0:
-        return float((Q // 2).bit_length())
-    return max(0.0, math.log2(Q / 2) - math.log2(max_norm))
+        return float(logq - 1.0)
+    return max(0.0, logq - 1.0 - math.log2(max_norm))
 
 
 # =========================================================================
@@ -493,29 +499,29 @@ def noise_budget(ctx: BfvContext, sk: SecretKey, ct: Ciphertext) -> float:
 @jax.jit
 def add(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
     assert a.size == b.size
-    return Ciphertext(mm.add_mod(a.c, b.c, ctx.base_q.p[:, None]), None, a.size, False)
+    return Ciphertext(mm.add_mod(a.c, b.c, ctx.base_q.p[:, None]), a.size, False)
 
 
 @jax.jit
 def sub(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    return Ciphertext(mm.sub_mod(a.c, b.c, ctx.base_q.p[:, None]), None, a.size, False)
+    return Ciphertext(mm.sub_mod(a.c, b.c, ctx.base_q.p[:, None]), a.size, False)
 
 
 @jax.jit
 def negate(ctx: BfvContext, a: Ciphertext) -> Ciphertext:
-    return Ciphertext(mm.neg_mod(a.c, ctx.base_q.p[:, None]), None, a.size, False)
+    return Ciphertext(mm.neg_mod(a.c, ctx.base_q.p[:, None]), a.size, False)
 
 
 @jax.jit
 def add_plain(ctx: BfvContext, a: Ciphertext, plain) -> Ciphertext:
     c0 = mm.add_mod(a.c[0], _plain_lift(ctx, plain), ctx.base_q.p[:, None])
-    return Ciphertext(a.c.at[0].set(c0), None, a.size, False)
+    return Ciphertext(a.c.at[0].set(c0), a.size, False)
 
 
 @jax.jit
 def sub_plain(ctx: BfvContext, a: Ciphertext, plain) -> Ciphertext:
     c0 = mm.sub_mod(a.c[0], _plain_lift(ctx, plain), ctx.base_q.p[:, None])
-    return Ciphertext(a.c.at[0].set(c0), None, a.size, False)
+    return Ciphertext(a.c.at[0].set(c0), a.size, False)
 
 
 @jax.jit
@@ -530,7 +536,7 @@ def multiply_plain(ctx: BfvContext, a: Ciphertext, plain) -> Ciphertext:
     for i in range(a.size):
         prod = mm.mont_mul(nttm.ntt_fwd(a.c[i], tb), m_ntt_mont, p, pinv)
         out.append(nttm.ntt_inv(prod, tb))
-    return Ciphertext(jnp.stack(out), None, a.size, False)
+    return Ciphertext(jnp.stack(out), a.size, False)
 
 
 def _behz_lift_to_bsk(ctx: BfvContext, x):
@@ -639,7 +645,7 @@ def multiply(ctx: BfvContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
 
     w = _behz_scale_floor(ctx, u_q, u_bsk)
     out = _behz_bsk_to_q(ctx, w)
-    return Ciphertext(out, None, 3, False)
+    return Ciphertext(out, 3, False)
 
 
 def _ks_dispatch(ctx: BfvContext, poly_q, k0, k1):
@@ -659,7 +665,7 @@ def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
     d0, d1 = _ks_dispatch(ctx, ct.c[2], rk.k0, rk.k1)
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p),
-                                 mm.add_mod(ct.c[1], d1, p)]), None, 2, False)
+                                 mm.add_mod(ct.c[1], d1, p)]), 2, False)
 
 
 @jax.jit
@@ -669,7 +675,7 @@ def apply_galois(ctx: BfvContext, ct: Ciphertext, gk1: GaloisKeyOne) -> Cipherte
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(ct.c[1], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     d0, d1 = _ks_dispatch(ctx, g1, gk1.k0, gk1.k1)
-    return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), None, 2, False)
+    return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), 2, False)
 
 
 def rotate_rows(ctx: BfvContext, ct: Ciphertext, gk: GaloisKey, step: int) -> Ciphertext:
@@ -706,7 +712,7 @@ def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
     errors.check_size(ct.size, 2, "switch_key")
     d0, d1 = _ks_dispatch(ctx, ct.c[1], swk.k0, swk.k1)
     p = ctx.base_q.p[:, None]
-    return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p), d1]), None, 2, False)
+    return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p), d1]), 2, False)
 
 
 
@@ -718,7 +724,7 @@ def multiply_power_of_x(ctx: BfvContext, ct: Ciphertext, k: int) -> Ciphertext:
     errors.check_ntt_domain(ct.in_ntt, False, "multiply_power_of_x")
     src, neg = polyops.negacyclic_shift_tables(k, ctx.n)
     out = polyops.negacyclic_shift(ct.c, src, neg, ctx.base_q.p[:, None])
-    return Ciphertext(out, ct.noise_seed, ct.size, False)
+    return Ciphertext(out, ct.size, False)
 
 
 def transform_to_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
@@ -727,13 +733,13 @@ def transform_to_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
     plain multiplication without per-op transforms."""
     errors.check_ntt_domain(ct.in_ntt, False, "transform_to_ntt")
     return Ciphertext(nttm.ntt_fwd(ct.c, ctx.ntt_qp.slice_limbs(0, ctx.k)),
-                      ct.noise_seed, ct.size, True)
+                      ct.size, True)
 
 
 def transform_from_ntt(ctx: BfvContext, ct: Ciphertext) -> Ciphertext:
     errors.check_ntt_domain(ct.in_ntt, True, "transform_from_ntt")
     return Ciphertext(nttm.ntt_inv(ct.c, ctx.ntt_qp.slice_limbs(0, ctx.k)),
-                      ct.noise_seed, ct.size, False)
+                      ct.size, False)
 
 
 def print_parameters(ctx: BfvContext):
@@ -752,10 +758,16 @@ def print_parameters(ctx: BfvContext):
 def hoist(ctx: BfvContext, ct: Ciphertext):
     """Phase-1 keyswitch digits of ct.c[1] (decompose + NTT over Q̃) shared
     by many rotations — the BFV hoisting of the reference
-    (bfv_duplicate_kernel + fast rotations, kernel/switchkey.cuh)."""
+    (bfv_duplicate_kernel + fast rotations, kernel/switchkey.cuh).
+    Method I: per-prime broadcast digits; Method II: grouped FastBconv
+    digits (the reference hoists both, operator.cu:4674/5092)."""
     errors.check_size(ct.size, 2, "hoist")
     errors.check_ntt_domain(ct.in_ntt, False, "hoist")
-    assert ctx.ks_type == "I", "hoisting implemented for Method-I contexts"
+    if ctx.ks_type == "II":
+        ks2 = ctx.ks2[0]
+        digs = [ks2.convs[j](ct.c[1][..., g[0]: g[-1] + 1, :])
+                for j, g in enumerate(ks2.groups)]
+        return nttm.ntt_fwd(jnp.stack(digs, axis=-3), ctx.ntt_qp)
     return ringkit.hoist_digits(ct.c[1], ctx.base_qp, ctx.ntt_qp, in_ntt=False)
 
 
@@ -766,10 +778,18 @@ def rotate_rows_hoisted(ctx: BfvContext, ct: Ciphertext, d_ntt,
     per-limb negation absorbed by the permutation table)."""
     p = ctx.base_q.p[:, None]
     dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
-    acc0, acc1 = ringkit.hoisted_mac(dp, gk1.k0, gk1.k1, ctx.base_qp)
-    out = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp, ctx.div_p,
-                            out_ntt=False)
+    if ctx.ks_type == "II":
+        acc0 = rns.lazy_mac_mont(dp, gk1.k0, ctx.base_qp)
+        acc1 = rns.lazy_mac_mont(dp, gk1.k1, ctx.base_qp)
+        coeff = nttm.ntt_inv(jnp.stack([acc0, acc1]), ctx.ntt_qp)
+        for stage in ctx.ks2[0].div_stages:
+            coeff = stage(coeff)
+        out = coeff
+    else:
+        acc0, acc1 = ringkit.hoisted_mac(dp, gk1.k0, gk1.k1, ctx.base_qp)
+        out = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp,
+                                ctx.div_p, out_ntt=False)
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src,
                                     gk1.perm_coeff_neg, p)
     return Ciphertext(jnp.stack([mm.add_mod(g0, out[0], p), out[1]]),
-                      None, 2, False)
+                      2, False)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
-from ..ops import keyswitch2, polyops, rns
+from ..ops import compose, df64, keyswitch2, polyops, rns, sfft
 from ..utils import errors, nt, rng
 from ..utils.params import validate_security
 from . import ringkit
@@ -150,22 +150,32 @@ def make_context(n: int,
                  scale_bits: Optional[int] = None,
                  sec_level: str = "none",
                  ks_type: str = "I",
-                 alpha: int = 1) -> CkksContext:
+                 alpha: int = 1,
+                 p_count: Optional[int] = None) -> CkksContext:
     """q_bits: bit sizes of the Q chain, q_bits[0] = base prime; the scale
     primes should sit near 2**scale_bits.  `alpha` 30-bit special primes are
     appended; ks_type "II" uses hybrid keyswitching with digits of `alpha`
-    grouped primes (reference keyswitching_type METHOD_II)."""
+    grouped primes (reference keyswitching_type METHOD_II).
+
+    p_count (default alpha): number of special primes.  p_count > alpha makes
+    P much larger than any digit, dividing keyswitch noise by
+    2^(30*(p_count-alpha)) — essential headroom at large N where the per-op
+    slot noise grows ~linearly with n under <2^30-prime scales (the analog of
+    the reference's 60-bit special prime over ~50-bit digits)."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
     if ks_type == "I":
         alpha = 1
+    if p_count is None:
+        p_count = alpha
+    assert p_count >= alpha, "P must cover at least one digit"
     q_primes = []
     used = set()
     for b in q_bits:
         pr = nt.generate_ntt_primes(b, 1, n, exclude=used)[0]
         used.add(pr)
         q_primes.append(pr)
-    p_primes = nt.generate_ntt_primes(30, alpha, n, exclude=used)
+    p_primes = nt.generate_ntt_primes(30, p_count, n, exclude=used)
     validate_security(n, q_primes + p_primes, sec_level)
     if scale_bits is None:
         scale_bits = q_bits[1] if len(q_bits) > 1 else q_bits[0] - 1
@@ -230,8 +240,8 @@ def keygen_secret(ctx, key, hamming_weight=None):
     return ringkit.keygen_secret(_ring(ctx), key, hamming_weight)
 
 
-def keygen_public(ctx, key, sk):
-    return ringkit.keygen_public(_ring(ctx), key, sk)
+def keygen_public(ctx, key, sk, a_seed=None):
+    return ringkit.keygen_public(_ring(ctx), key, sk, a_seed=a_seed)
 
 
 def _groups(ctx):
@@ -241,13 +251,15 @@ def _groups(ctx):
     return None
 
 
-def keygen_relin(ctx, key, sk):
-    return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx))
+def keygen_relin(ctx, key, sk, a_seed=None):
+    return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx),
+                                a_seed=a_seed)
 
 
-def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8, elts=None):
+def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8,
+                  elts=None, a_seed=None):
     return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 groups=_groups(ctx), elts=elts)
+                                 groups=_groups(ctx), elts=elts, a_seed=a_seed)
 
 
 def keygen_switch(ctx, key, sk_old, sk_new):
@@ -323,6 +335,93 @@ def _slots_from_embed_coeffs(ctx: CkksContext, a: np.ndarray) -> np.ndarray:
     return spec[_slot_eval_nat(n)]
 
 
+@lru_cache(maxsize=None)
+def _sfft_tabs(n: int) -> sfft.SfftTables:
+    return sfft.build_tables(n)
+
+
+@lru_cache(maxsize=None)
+def _compose_tabs(primes: tuple) -> compose.SmallComposeTables:
+    return compose.build_tables(list(primes))
+
+
+@partial(jax.jit, static_argnames=("primes", "wide"))
+def _rns_from_df64(a, primes, wide: bool = False):
+    """Rounded df64 coefficients (pair of (..., n) f32) -> (..., L, n) uint32
+    residues, exactly (device analog of encode_kernel_ckks_conversion +
+    threshold lifting, kernel/encoding.cu).  wide=True uses the 3-part split
+    (values up to 2^59 — composite scales, see df64.round_to_int_parts3)."""
+    if wide:
+        c2, c1, c0 = df64.round_to_int_parts3(a)
+        i2 = c2.astype(jnp.int32)
+        i1 = c1.astype(jnp.uint32)
+        i0 = c0.astype(jnp.uint32)
+    else:
+        c_hi, c_lo = df64.round_to_int_parts(a)      # exact ints as floats
+        ih = c_hi.astype(jnp.int32)
+        il = c_lo.astype(jnp.int32)
+    out = []
+    for q in primes:
+        qp = jnp.uint32(int(q))
+        mu = jnp.uint32(mm.barrett_mu(int(q)))
+        r1 = jnp.uint32((1 << 32) % int(q))
+        r1s = jnp.uint32(mm.shoup((1 << 32) % int(q), int(q)))
+        p24 = jnp.uint32((1 << 24) % int(q))
+
+        def mod_signed(v):
+            neg = v < 0
+            mag = mm.barrett32(jnp.abs(v).astype(jnp.uint32), qp, mu)
+            return jnp.where(neg, mm.neg_mod(mag, qp), mag)
+
+        if wide:
+            p48 = jnp.uint32((1 << 48) % int(q))
+            v2 = mod_signed(i2)
+            hi, lo = mm.widening_mul(v2, p48)
+            thi, tlo = mm.widening_mul(mm.barrett32(i1, qp, mu), p24)
+            hi, lo = mm.add64(hi, lo, thi, tlo)
+            hi, lo = mm.add64(hi, lo, jnp.zeros_like(i0),
+                              mm.barrett32(i0, qp, mu))
+            out.append(mm.reduce64(hi, lo, qp, mu, r1, r1s))
+        else:
+            vh = mod_signed(ih)
+            vl = mod_signed(il)
+            hi, lo = mm.widening_mul(vh, p24)
+            lo2 = lo + vl
+            hi = hi + (lo2 < lo).astype(jnp.uint32)
+            out.append(mm.reduce64(hi, lo2, qp, mu, r1, r1s))
+    return jnp.stack(out, axis=-2)
+
+
+@partial(jax.jit, static_argnames=("primes", "wide"))
+def _encode_slots_core(zr, zi, tabs, primes, sc, wide: bool = False):
+    """df64 slot pairs (..., n/2) -> residues (..., L, n); sc = df64 scale."""
+    a = sfft.embed_from_slots(zr, zi, tabs)
+    a = df64.mul(a, (jnp.broadcast_to(sc[0], a[0].shape),
+                     jnp.broadcast_to(sc[1], a[0].shape)))
+    return _rns_from_df64(a, primes, wide=wide)
+
+
+@partial(jax.jit, static_argnames=("primes",))
+def _decode_slots_core(res_coeff, tabs, ctabs, primes, inv_sc):
+    """(..., L, n) coefficient-domain residues -> df64 slot pairs."""
+    v = compose.compose_small(res_coeff, primes, ctabs)
+    a = df64.mul(v, (jnp.broadcast_to(inv_sc[0], v[0].shape),
+                     jnp.broadcast_to(inv_sc[1], v[0].shape)))
+    return sfft.slots_from_embed(a, tabs)
+
+
+def encode_batch_rns(n: int, zs: np.ndarray, primes,
+                     scale: float) -> jnp.ndarray:
+    """Batch device encode: (B, n/2) complex slots -> (B, L, n) residues
+    (coefficient domain).  Used by the bootstrapping diagonal builder."""
+    zr = df64.from_f64(np.real(zs))
+    zi = df64.from_f64(np.imag(zs))
+    tabs = _sfft_tabs(n)
+    sc = df64.from_f64(np.float64(scale))
+    return _encode_slots_core(zr, zi, tabs, tuple(int(q) for q in primes), sc,
+                              wide=bool(scale >= 2.0 ** 40))
+
+
 def coeffs_to_rns(a: np.ndarray, primes) -> np.ndarray:
     """Rounded float coefficients -> RNS residues; int64 fast path when the
     magnitudes allow, exact object-int path otherwise."""
@@ -340,7 +439,23 @@ def coeffs_to_rns(a: np.ndarray, primes) -> np.ndarray:
 
 def encode(ctx: CkksContext, values, scale: Optional[float] = None,
            level: int = 0) -> Plaintext:
-    """values: up to n/2 real or complex numbers."""
+    """values: up to n/2 real or complex numbers.  Runs on device (df64
+    special FFT + exact RNS reduction, ops/sfft.py); encode_host is the
+    float64 host oracle."""
+    scale = float(scale or ctx.default_scale)
+    half = ctx.n // 2
+    z = np.zeros(half, np.complex128)
+    v = np.asarray(values)
+    z[: v.size] = v
+    ka = ctx.active(level)
+    res = encode_batch_rns(ctx.n, z[None], ctx.q_primes[:ka], scale)[0]
+    m_ntt = nttm.ntt_fwd(res, ctx.ntt_q(level))
+    return Plaintext(m_ntt, level, scale)
+
+
+def encode_host(ctx: CkksContext, values, scale: Optional[float] = None,
+                level: int = 0) -> Plaintext:
+    """Host float64 oracle path (numpy FFT + int64/bigint CRT)."""
     scale = float(scale or ctx.default_scale)
     half = ctx.n // 2
     z = np.zeros(half, np.complex128)
@@ -357,39 +472,47 @@ def encode_coeff(ctx: CkksContext, values, scale: Optional[float] = None,
                  level: int = 0) -> Plaintext:
     """COEFFICIENT-mode encoding (reference encoding::COEFFICIENT,
     util/schemes.h:129-133): up to n real values placed directly as
-    polynomial coefficients (no canonical embedding)."""
+    polynomial coefficients (no canonical embedding).  Device RNS reduction."""
     scale = float(scale or ctx.default_scale)
     v = np.zeros(ctx.n, np.float64)
     vv = np.asarray(values, np.float64)
     v[: vv.size] = vv
     ka = ctx.active(level)
-    res = coeffs_to_rns(v * scale, ctx.q_primes[:ka])
-    m_ntt = nttm.ntt_fwd(jnp.asarray(res), ctx.ntt_q(level))
+    primes = tuple(int(q) for q in ctx.q_primes[:ka])
+    res = _rns_from_df64(df64.from_f64(v * scale), primes)
+    m_ntt = nttm.ntt_fwd(res, ctx.ntt_q(level))
     return Plaintext(m_ntt, level, scale)
 
 
 def decode_coeff(ctx: CkksContext, pt: Plaintext) -> np.ndarray:
-    """COEFFICIENT-mode decoding: n real coefficient values."""
+    """COEFFICIENT-mode decoding: n real coefficient values (device
+    gamma-pair compose; no big-int host loop)."""
     ka = ctx.active(pt.level)
-    coeffs = np.asarray(nttm.ntt_inv(pt.m, ctx.ntt_q(pt.level)))
-    primes = [int(q) for q in ctx.q_primes[:ka]]
-    Q = _prod(primes)
-    acc = np.zeros(ctx.n, object)
-    for i, q in enumerate(primes):
-        Mi = Q // q
-        acc += coeffs[i].astype(object) * ((pow(Mi, -1, q) * Mi) % Q)
-    acc %= Q
-    acc = np.where(acc >= Q // 2, acc - Q, acc)
-    return (acc / pt.scale).astype(np.float64)
+    primes = tuple(int(q) for q in ctx.q_primes[:ka])
+    coeffs = nttm.ntt_inv(pt.m, ctx.ntt_q(pt.level))
+    v = compose.compose_small(coeffs, primes, _compose_tabs(primes))
+    return df64.to_f64(v) / pt.scale
 
 
 def decode(ctx: CkksContext, pt: Plaintext) -> np.ndarray:
-    """Plaintext -> n/2 complex slot values."""
+    """Plaintext -> n/2 complex slot values.  Runs on device (exact gamma-pair
+    small compose + df64 special FFT, ops/compose.py); decode_host is the
+    big-int host oracle."""
+    ka = ctx.active(pt.level)
+    primes = tuple(int(q) for q in ctx.q_primes[:ka])
+    coeffs = nttm.ntt_inv(pt.m, ctx.ntt_q(pt.level))
+    zr, zi = _decode_slots_core(coeffs, _sfft_tabs(ctx.n),
+                                _compose_tabs(primes), primes,
+                                df64.from_f64(np.float64(1.0 / pt.scale)))
+    return df64.to_f64(zr) + 1j * df64.to_f64(zi)
+
+
+def decode_host(ctx: CkksContext, pt: Plaintext) -> np.ndarray:
+    """Host big-int oracle path."""
     ka = ctx.active(pt.level)
     coeffs = np.asarray(nttm.ntt_inv(pt.m, ctx.ntt_q(pt.level)))
     primes = [int(q) for q in ctx.q_primes[:ka]]
     Q = _prod(primes)
-    # vectorised CRT compose with object dtype (host, test/IO path)
     acc = np.zeros(ctx.n, object)
     for i, q in enumerate(primes):
         Mi = Q // q

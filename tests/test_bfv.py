@@ -161,3 +161,28 @@ def test_hoisted_rotations_and_custom_elts():
     g5 = polyops.steps_to_galois_elt(5, n)
     gk2 = bfv.keygen_galois(ctx, rng.new_key(505), sk, elts=[g5])
     assert g5 in gk2.keys
+
+
+def test_hoisted_rotations_method2():
+    """BFV hoisting over a Method-II (hybrid) context: grouped FastBconv
+    digits + multi-stage exact /P (reference hoists both methods,
+    operator.cu:4674/5092)."""
+    from heongpu_tpu.ops import polyops
+    from heongpu_tpu.utils import params as prm
+    n = 1024
+    t = prm.plain_modulus_for(n, 17)
+    ctx = bfv.make_context(n, t, q_bits=[29] * 4, sec_level="none",
+                           ks_type="II", alpha=2)
+    sk = bfv.keygen_secret(ctx, rng.new_key(511))
+    pk = bfv.keygen_public(ctx, rng.new_key(512), sk)
+    gk = bfv.keygen_galois(ctx, rng.new_key(513), sk, steps=[1, 3])
+    m = (np.arange(n, dtype=np.uint64) * 11) % t
+    ct = bfv.encrypt(ctx, pk, bfv.encode(ctx, m), rng.new_key(514))
+    d = bfv.hoist(ctx, ct)
+    for s in (1, 3):
+        g = polyops.steps_to_galois_elt(s, n)
+        got = bfv.decode(ctx, bfv.decrypt(
+            ctx, sk, bfv.rotate_rows_hoisted(ctx, ct, d, gk.keys[g])))
+        want = np.concatenate([np.roll(m[: n // 2], -s),
+                               np.roll(m[n // 2:], -s)])
+        np.testing.assert_array_equal(got, want)
