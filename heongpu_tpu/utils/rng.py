@@ -152,14 +152,23 @@ def _lift_signed(e, primes_b, mu_b=None):
     return jnp.where(neg, mm.neg_mod(mag, primes_b), mag).astype(jnp.uint32)
 
 
-def gaussian_rns(key, primes, shape, sigma: float = ERROR_STD_DEV) -> jnp.ndarray:
-    """Centered discrete gaussian (sigma=3.2), same noise on every limb."""
+def gaussian_rns(key, primes, shape, sigma: float = ERROR_STD_DEV,
+                 noise_scale: int = 1) -> jnp.ndarray:
+    """Centered discrete gaussian (sigma=3.2), same noise on every limb.
+    noise_scale multiplies the sampled integers before the RNS lift (BGV uses
+    t*e noise; noise_scale*6*sigma must stay below 2^31)."""
     p, _, _, _ = _prime_consts(primes)
     L = p.shape[0]
     g = normal(key, tuple(shape)) * sigma
     e = jnp.clip(jnp.round(g), -GAUSS_TAIL * sigma, GAUSS_TAIL * sigma).astype(jnp.int32)
+    if noise_scale != 1:
+        e = e * jnp.int32(noise_scale)
     bshape = (L,) + (1,) * len(shape)
-    return _lift_signed(e[None], p.reshape(bshape))
+    mu = None
+    if noise_scale * GAUSS_TAIL * ERROR_STD_DEV >= float(np.min(np.asarray(primes, np.uint64))):
+        _, mu, _, _ = _prime_consts(primes)
+        mu = mu.reshape(bshape)
+    return _lift_signed(e[None], p.reshape(bshape), mu)
 
 
 def ternary_rns(key, primes, shape) -> jnp.ndarray:
