@@ -379,6 +379,100 @@ def noise_margin_bits(ct: Ciphertext) -> float:
 _RENORM = 8  # CMux steps between torus renormalisations of the accumulator
 
 
+def _boot_prologue(ctx: TfheContext, ct: Ciphertext):
+    """Initial NTT-domain accumulator (testvector rotated by X^{-b}) and the
+    mod-switched per-step rotation amounts."""
+    B = ct.a.shape[0]
+    N = ctx.N
+    p = ctx.ntt.p[:, None]
+    pinv = ctx.ntt.pinv[:, None]
+    testv = jnp.broadcast_to(MU, (B, N)).astype(U32)
+    b_t = _modswitch(ct.b, N)
+    zero = jnp.zeros((B, 1, N), U32)
+    acc_t = jnp.concatenate([zero, testv[:, None, :]], axis=1)
+    acc = nttm.ntt_fwd(_torus_to_rns(ctx, acc_t), ctx.ntt)
+    w_b = _omega_mont(ctx, (2 * N - b_t) % (2 * N))
+    acc = mm.mont_mul(acc, w_b[:, None], p, pinv)
+    a_t = _modswitch(ct.a, N)
+    return acc, a_t
+
+
+def _boot_epilogue(ctx: TfheContext, bk: BootKey, acc_t, B: int):
+    """Sample extract at coefficient 0 + base-4 LWE keyswitch; acc_t is the
+    final (B, 2, N) torus accumulator."""
+    N = ctx.N
+    a_poly = acc_t[:, 0, :]
+    b_out = acc_t[:, 1, 0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    rolled = jnp.roll(a_poly[:, ::-1], 1, axis=-1)
+    ext_a = jnp.where(idx[None, :] == 0, rolled, -rolled)
+
+    sh0 = 32 - ctx.ks_base_bit * ctx.ks_length
+    u = ext_a + (jnp.uint32(1) << (sh0 - 1))
+    out_a = jnp.zeros((B, ctx.n), U32)
+    out_b = b_out
+    for t in range(ctx.ks_length):
+        sh = 32 - (t + 1) * ctx.ks_base_bit
+        dig = (u >> sh) & jnp.uint32(KS_BASE - 1)
+        ka = bk.ksk_a[:, t]
+        kb = bk.ksk_b[:, t]
+        sel_a = jnp.take_along_axis(
+            ka[None], dig[:, :, None, None].astype(jnp.int32), axis=2)[:, :, 0]
+        sel_b = jnp.take_along_axis(
+            kb[None], dig[:, :, None].astype(jnp.int32), axis=2)[:, :, 0]
+        out_a = out_a - jnp.sum(sel_a, axis=1)
+        out_b = out_b - jnp.sum(sel_b, axis=1)
+    return Ciphertext(out_a, out_b, variance=bootstrap_output_variance(ctx))
+
+
+_FUSED_PREP = {}  # id(ctx) -> kernel-layout table dict (host-built, tiny)
+
+
+def bootstrap_fused(ctx: TfheContext, bk: BootKey, ct: Ciphertext,
+                    tile: int = 8, interpret: bool = False) -> Ciphertext:
+    """bootstrap_raw with the n-step CMux chain fused into one Pallas TPU
+    kernel (ops/tfhe_kernel.py).  Bit-identical to bootstrap_raw; the batch
+    is padded to a multiple of `tile`.
+
+    Table packing (prep_tables) reads concrete context arrays on host, so it
+    runs eagerly here (cached per context) and the rest is one jitted core."""
+    from ..ops import tfhe_kernel as tk
+
+    tabs = _FUSED_PREP.get(id(ctx))
+    if tabs is None:
+        tabs = tk.prep_tables(ctx)
+        _FUSED_PREP[id(ctx)] = tabs
+    return _bootstrap_fused_core(ctx, bk, ct, tabs, tile=tile,
+                                 interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def _bootstrap_fused_core(ctx: TfheContext, bk: BootKey, ct: Ciphertext,
+                          tabs, tile: int = 8,
+                          interpret: bool = False) -> Ciphertext:
+    from ..ops import tfhe_kernel as tk
+
+    B0 = ct.a.shape[0]
+    B = ((B0 + tile - 1) // tile) * tile
+    if B != B0:
+        pad = B - B0
+        ct = Ciphertext(jnp.concatenate([ct.a, jnp.zeros((pad, ctx.n), U32)]),
+                        jnp.concatenate([ct.b, jnp.zeros((pad,), U32)]),
+                        variance=ct.variance)
+    acc, a_t = _boot_prologue(ctx, ct)                # (B, 2, 2, N), (B, n)
+    acc_k = tk.to_kernel_layout(jnp.transpose(acc, (2, 0, 1, 3)))
+    bk_stream = tk.prep_bk(bk.bk)
+    out_k = tk.blind_rotate(acc_k, jnp.transpose(a_t), bk_stream, tabs,
+                            n=ctx.n, Bt=tile, interpret=interpret)
+    acc_ntt = jnp.transpose(
+        tk.from_kernel_layout(out_k, (2, B, 2)), (1, 2, 0, 3))
+    acc_t = _rns_to_torus(ctx, nttm.ntt_inv(acc_ntt, ctx.ntt))
+    out = _boot_epilogue(ctx, bk, acc_t, B)
+    if B != B0:
+        out = Ciphertext(out.a[:B0], out.b[:B0], variance=out.variance)
+    return out
+
+
 @jax.jit
 def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
     """Blind rotation + sample extract + keyswitch for a batch of LWEs whose

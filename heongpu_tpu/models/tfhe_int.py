@@ -250,3 +250,124 @@ def eq(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
             width = half
         cur = merged
     return tfhe.NOT(ctx, cur)
+
+
+# =========================================================================
+# Shifts, MUX, comparison-select, multiply (beyond the reference's advertised
+# add/sub surface — the natural completions of the huint family)
+# =========================================================================
+
+def shift_left(x: HUint, k: int) -> HUint:
+    """x << k (mod 2^width): free — bit ciphertexts move positions."""
+    if k == 0:
+        return x
+    if k >= x.width:
+        return HUint(_trivial(x.count * x.width, False), x.width, x.count)
+    a = x.bits.a.reshape(x.count, x.width, -1)
+    b = x.bits.b.reshape(x.count, x.width)
+    pad = _trivial(x.count * k, False)
+    na = jnp.concatenate([pad.a.reshape(x.count, k, -1), a[:, : x.width - k]],
+                         axis=1)
+    nb = jnp.concatenate([pad.b.reshape(x.count, k), b[:, : x.width - k]],
+                         axis=1)
+    ct = tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+                         variance=x.bits.variance)
+    return HUint(ct, x.width, x.count)
+
+
+def shift_right(x: HUint, k: int) -> HUint:
+    """x >> k (logical): free."""
+    if k == 0:
+        return x
+    if k >= x.width:
+        return HUint(_trivial(x.count * x.width, False), x.width, x.count)
+    a = x.bits.a.reshape(x.count, x.width, -1)
+    b = x.bits.b.reshape(x.count, x.width)
+    pad = _trivial(x.count * k, False)
+    na = jnp.concatenate([a[:, k:], pad.a.reshape(x.count, k, -1)], axis=1)
+    nb = jnp.concatenate([b[:, k:], pad.b.reshape(x.count, k)], axis=1)
+    ct = tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+                         variance=x.bits.variance)
+    return HUint(ct, x.width, x.count)
+
+
+def mux(ctx, bk, sel: tfhe.Ciphertext, x: HUint, y: HUint) -> HUint:
+    """Per-integer select: sel_i ? x_i : y_i (sel: (count,) bit batch).
+    One batched MUX over all count*width bits (2 blind rotations)."""
+    assert x.width == y.width and x.count == y.count
+    sel_b = tfhe.Ciphertext(
+        jnp.repeat(sel.a, x.width, axis=0), jnp.repeat(sel.b, x.width),
+        variance=sel.variance)
+    out = tfhe.MUX(ctx, bk, sel_b, x.bits, y.bits)
+    return HUint(out, x.width, x.count)
+
+
+def _extend(x: HUint, width: int) -> HUint:
+    """Zero-extend to `width` bits (free)."""
+    if width == x.width:
+        return x
+    a = x.bits.a.reshape(x.count, x.width, -1)
+    b = x.bits.b.reshape(x.count, x.width)
+    pad = _trivial(x.count * (width - x.width), False)
+    na = jnp.concatenate([a, pad.a.reshape(x.count, -1, tfhe.LWE_N)], axis=1)
+    nb = jnp.concatenate([b, pad.b.reshape(x.count, -1)], axis=1)
+    return HUint(tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+                                 variance=x.bits.variance), width, x.count)
+
+
+def mul(ctx, bk, x: HUint, y: HUint) -> HUint:
+    """x * y mod 2^width (schoolbook partial products + batched adder tree).
+
+    Bootstrap rounds: 1 (all W^2 partial-product ANDs in one batched blind
+    rotation) + ceil(log2 W) adder-tree levels, each level ONE batched
+    Kogge-Stone add over all pairs at that level."""
+    assert x.width == y.width and x.count == y.count
+    W, C = x.width, x.count
+    xa = x.bits.a.reshape(C, W, -1)
+    xb = x.bits.b.reshape(C, W)
+    ya = y.bits.a.reshape(C, W, -1)
+    yb = y.bits.b.reshape(C, W)
+
+    # partial product j: (x AND broadcast(y_j)) << j, truncated to W bits
+    # build all C*W*W pre-comps, one bootstrap
+    xa_r = jnp.broadcast_to(xa[:, None], (C, W, W, tfhe.LWE_N))
+    xb_r = jnp.broadcast_to(xb[:, None], (C, W, W))
+    ya_r = jnp.broadcast_to(ya[:, :, None], (C, W, W, tfhe.LWE_N))
+    yb_r = jnp.broadcast_to(yb[:, :, None], (C, W, W))
+    xs = tfhe.Ciphertext(xa_r.reshape(-1, tfhe.LWE_N), xb_r.reshape(-1),
+                         variance=x.bits.variance)
+    ys = tfhe.Ciphertext(ya_r.reshape(-1, tfhe.LWE_N), yb_r.reshape(-1),
+                         variance=y.bits.variance)
+    pp = tfhe.bootstrap_raw(ctx, bk, _pre_and(xs, ys))     # (C*W*W,)
+    ppa = pp.a.reshape(C, W, W, -1)
+    ppb = pp.b.reshape(C, W, W)
+
+    # shift partial product j left by j within W bits (zero-fill)
+    rows = []
+    for j in range(W):
+        if j == 0:
+            ra, rb = ppa[:, 0], ppb[:, 0]
+        else:
+            pad = _trivial(C * j, False)
+            ra = jnp.concatenate([pad.a.reshape(C, j, tfhe.LWE_N),
+                                  ppa[:, j, : W - j]], axis=1)
+            rb = jnp.concatenate([pad.b.reshape(C, j), ppb[:, j, : W - j]],
+                                 axis=1)
+        rows.append(HUint(tfhe.Ciphertext(ra.reshape(-1, tfhe.LWE_N),
+                                          rb.reshape(-1),
+                                          variance=pp.variance), W, C))
+
+    # adder tree: each level adds pairs in ONE batched Kogge-Stone call by
+    # stacking the pairs along the count axis
+    while len(rows) > 1:
+        pairs = [(rows[i], rows[i + 1]) for i in range(0, len(rows) - 1, 2)]
+        tail = rows[-1] if len(rows) % 2 else None
+        lhs = _cat(*[p[0].bits for p in pairs])
+        rhs = _cat(*[p[1].bits for p in pairs])
+        nC = C * len(pairs)
+        s, _ = _add_core(ctx, bk, lhs, rhs, nC, W)
+        rows = [HUint(_slc(s, i * C * W, (i + 1) * C * W), W, C)
+                for i in range(len(pairs))]
+        if tail is not None:
+            rows.append(tail)
+    return rows[0]

@@ -1,0 +1,44 @@
+"""Fused Pallas blind-rotation kernel (ops/tfhe_kernel.py) vs the jnp chain.
+
+The kernel must be BIT-identical to models/tfhe.bootstrap_raw — same NTT
+tables, same renormalisation points, same gadget decomposition — so the test
+compares raw uint32 LWE outputs, not just decrypted bits.  Runs in pallas
+interpret mode on CPU (the TPU-compiled kernel is exercised by benchmarks).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from heongpu_tpu.models import tfhe
+
+
+@pytest.mark.slow
+def test_bootstrap_fused_matches_raw():
+    ctx = tfhe.make_context()
+    sk = tfhe.keygen_secret(jax.random.PRNGKey(0))
+    bk = tfhe.keygen_boot(ctx, jax.random.PRNGKey(1), sk)
+    bits = np.array([0, 1, 0, 1, 1, 0, 1, 1], dtype=np.int32)
+    ct = tfhe.encrypt(ctx, sk, bits, jax.random.PRNGKey(2))
+
+    r_raw = tfhe.bootstrap_raw(ctx, bk, ct)
+    r_fused = tfhe.bootstrap_fused(ctx, bk, ct, tile=8, interpret=True)
+
+    assert bool(jnp.all(r_raw.a == r_fused.a))
+    assert bool(jnp.all(r_raw.b == r_fused.b))
+    np.testing.assert_array_equal(np.asarray(tfhe.decrypt(ctx, sk, r_fused)),
+                                  bits.astype(bool))
+
+
+@pytest.mark.slow
+def test_bootstrap_fused_pads_partial_tile():
+    ctx = tfhe.make_context()
+    sk = tfhe.keygen_secret(jax.random.PRNGKey(3))
+    bk = tfhe.keygen_boot(ctx, jax.random.PRNGKey(4), sk)
+    bits = np.array([1, 0, 1], dtype=np.int32)   # B=3, tile=8 -> padded
+    ct = tfhe.encrypt(ctx, sk, bits, jax.random.PRNGKey(5))
+    out = tfhe.bootstrap_fused(ctx, bk, ct, tile=8, interpret=True)
+    assert out.a.shape[0] == 3
+    np.testing.assert_array_equal(np.asarray(tfhe.decrypt(ctx, sk, out)),
+                                  bits.astype(bool))

@@ -83,3 +83,33 @@ def test_huint_comparisons(setup):
     eqb = tfhe.decrypt(ctx, sk, tfhe_int.eq(ctx, bk, hx, hy)).astype(int)
     np.testing.assert_array_equal(geb, (xs >= ys).astype(int))
     np.testing.assert_array_equal(eqb, (xs == ys).astype(int))
+
+
+def test_huint8_shift_mux(setup):
+    ctx, sk, bk = setup
+    R = np.random.default_rng(9)
+    xs = R.integers(0, 256, 2)
+    hx = tfhe_int.encrypt_huint(ctx, sk, xs, 8, rng.new_key(50))
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_huint(ctx, sk, tfhe_int.shift_left(hx, 3)).astype(np.int64),
+        (xs << 3) % 256)
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_huint(ctx, sk, tfhe_int.shift_right(hx, 2)).astype(np.int64),
+        xs >> 2)
+    ys = R.integers(0, 256, 2)
+    hy = tfhe_int.encrypt_huint(ctx, sk, ys, 8, rng.new_key(51))
+    sel = tfhe.encrypt(ctx, sk, np.array([True, False]), rng.new_key(52))
+    got = tfhe_int.decrypt_huint(ctx, sk, tfhe_int.mux(ctx, bk, sel, hx, hy))
+    np.testing.assert_array_equal(got.astype(np.int64),
+                                  np.where([True, False], xs, ys))
+
+
+def test_huint8_mul(setup):
+    ctx, sk, bk = setup
+    R = np.random.default_rng(10)
+    xs = R.integers(0, 256, 2)
+    ys = R.integers(0, 256, 2)
+    hx = tfhe_int.encrypt_huint(ctx, sk, xs, 8, rng.new_key(53))
+    hy = tfhe_int.encrypt_huint(ctx, sk, ys, 8, rng.new_key(54))
+    got = tfhe_int.decrypt_huint(ctx, sk, tfhe_int.mul(ctx, bk, hx, hy))
+    np.testing.assert_array_equal(got.astype(np.int64), (xs * ys) % 256)
