@@ -223,7 +223,7 @@ def bfv_decrypt_fuse(ctx: bfv.BfvContext, ct, partials):
     acc = ct.c[0]
     for sh in partials:
         acc = mm.add_mod(acc, sh, p)
-    fake = bfv.Ciphertext(jnp.stack([acc, jnp.zeros_like(acc)]), None, 2, False)
+    fake = bfv.Ciphertext(jnp.stack([acc, jnp.zeros_like(acc)]), 2, False)
     return bfv.decrypt(ctx, _zero_sk(ctx), fake)
 
 
@@ -285,13 +285,13 @@ def bfv_colboot_coordinator(ctx: bfv.BfvContext, ct, shares, common_seed: int):
     for h0, h1 in shares:
         acc0 = mm.add_mod(acc0, h0, p)
         acc1 = h1 if acc1 is None else mm.add_mod(acc1, h1, p)
-    fake = bfv.Ciphertext(jnp.stack([acc0, jnp.zeros_like(acc0)]), None, 2, False)
+    fake = bfv.Ciphertext(jnp.stack([acc0, jnp.zeros_like(acc0)]), 2, False)
     m_prime = bfv.decrypt(ctx, _zero_sk(ctx), fake)  # = m - sum(M_i) mod t
     a = crs_uniform(ring, common_seed, (ctx.n,))[: ctx.k]
     tb = ctx.ntt_qp.slice_limbs(0, ctx.k)
     c0_new = mm.add_mod(acc1, bfv._plain_lift(ctx, m_prime), p)
     c1_new = nttm.ntt_inv(a, tb)
-    return bfv.Ciphertext(jnp.stack([c0_new, c1_new]), None, 2, False)
+    return bfv.Ciphertext(jnp.stack([c0_new, c1_new]), 2, False)
 
 
 # ---------------------------------------------------------------------

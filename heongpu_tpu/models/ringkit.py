@@ -40,25 +40,32 @@ class SecretKey:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["pk0", "pk1"], meta_fields=[])
+         data_fields=["pk0", "pk1"], meta_fields=["a_seed"])
 @dataclasses.dataclass(frozen=True)
 class PublicKey:
+    """pk1 (the uniform `a` half) is regenerable from `a_seed` when the key
+    was generated seed-expanded (reference MultipartyPublickey common-seed
+    storage, host/bfv/publickey.cuh:324): strip_seeded drops it for
+    serialization, expand_seeded rebuilds it."""
     pk0: jnp.ndarray  # (k+p, n) NTT, Montgomery form
     pk1: jnp.ndarray
+    a_seed: Optional[int] = None
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["k0", "k1"], meta_fields=[])
+         data_fields=["k0", "k1"], meta_fields=["a_seed"])
 @dataclasses.dataclass(frozen=True)
 class KSKey:
-    """Method-I keyswitch key: (d, k+p, n) NTT + Montgomery."""
+    """Method-I keyswitch key: (d, k+p, n) NTT + Montgomery.  k1 (uniform)
+    is seed-expandable like PublicKey.pk1."""
     k0: jnp.ndarray
     k1: jnp.ndarray
+    a_seed: Optional[int] = None
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["k0", "k1", "perm_coeff_src", "perm_coeff_neg", "perm_ntt"],
-         meta_fields=["galois_elt"])
+         meta_fields=["galois_elt", "a_seed"])
 @dataclasses.dataclass(frozen=True)
 class GaloisKeyOne:
     k0: jnp.ndarray
@@ -67,6 +74,7 @@ class GaloisKeyOne:
     perm_coeff_neg: jnp.ndarray
     perm_ntt: jnp.ndarray
     galois_elt: int
+    a_seed: Optional[int] = None
 
 
 class GaloisKey:
@@ -131,36 +139,64 @@ def keygen_secret(ring: RingView, key, hamming_weight: Optional[int] = None) -> 
 
 
 @rng.drbg_eager
-@jax.jit
-def keygen_public(ring: RingView, key, sk: SecretKey) -> PublicKey:
-    ka, ke = rng.split(key)
+@partial(jax.jit, static_argnames=("noise_scale",))
+def _keygen_public_core(ring: RingView, ka, ke, sk: SecretKey,
+                        noise_scale: int = 1) -> PublicKey:
     a = rng.uniform_rns(ka, ring.qp_primes, (ring.n,))  # NTT domain
-    e = nttm.ntt_fwd(rng.gaussian_rns(ke, ring.qp_primes, (ring.n,)), ring.ntt_qp)
+    e = nttm.ntt_fwd(rng.gaussian_rns(ke, ring.qp_primes, (ring.n,),
+                                      noise_scale=noise_scale), ring.ntt_qp)
     p, pinv, r2, *_ = ring.base_qp.bview()
     a_s = mm.mont_mul(a, sk.s_ntt_mont_qp, p, pinv)
     pk0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
     return PublicKey(mm.to_mont(pk0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
-@rng.drbg_eager
-@partial(jax.jit, static_argnames=("groups",))
+def keygen_public(ring: RingView, key, sk: SecretKey,
+                  a_seed: Optional[int] = None,
+                  noise_scale: int = 1) -> PublicKey:
+    """a_seed: generate the uniform half from this public seed so the key is
+    seed-expandable (serialized size roughly halves).  noise_scale=t gives
+    BGV-style lsb-noise keys."""
+    if a_seed is None:
+        ka, ke = rng.split(key)
+        return _keygen_public_core(ring, ka, ke, sk, noise_scale=noise_scale)
+    pk = _keygen_public_core(ring, rng.new_key(a_seed), key, sk,
+                             noise_scale=noise_scale)
+    return dataclasses.replace(pk, a_seed=int(a_seed))
+
+
 def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont,
-              groups=None) -> KSKey:
+              groups=None, a_seed: Optional[int] = None,
+              noise_scale: int = 1) -> KSKey:
     """Keyswitch key encrypting `target` (NTT+mont over QP) under s.
 
     groups=None: Method I (one digit per Q prime).  groups=((0,1),(2,3),...):
     Method II grouped gadget — digit j carries P·target on every limb of
-    group j (reference relinkey_gen_II_kernel)."""
+    group j (reference relinkey_gen_II_kernel).  a_seed: seed-expand the
+    uniform half (see PublicKey)."""
+    if a_seed is None:
+        ka, ke = rng.split(key)
+        return _ks_keygen_core(ring, ka, ke, sk, target_ntt_mont, groups,
+                               noise_scale=noise_scale)
+    kk = _ks_keygen_core(ring, rng.new_key(a_seed), key, sk, target_ntt_mont,
+                         groups, noise_scale=noise_scale)
+    return dataclasses.replace(kk, a_seed=int(a_seed))
+
+
+@rng.drbg_eager
+@partial(jax.jit, static_argnames=("groups", "noise_scale"))
+def _ks_keygen_core(ring: RingView, ka, ke, sk: SecretKey, target_ntt_mont,
+                    groups=None, noise_scale: int = 1) -> KSKey:
     k, n = ring.k, ring.n
     if groups is None:
         groups = tuple((i,) for i in range(k))
     d = len(groups)
     P = _prod(ring.p_primes)
     p, pinv, r2, *_ = ring.base_qp.bview()
-    ka, ke = rng.split(key)
     a = jnp.moveaxis(rng.uniform_rns(ka, ring.qp_primes, (d, n)), 0, 1)
-    e = nttm.ntt_fwd(jnp.moveaxis(rng.gaussian_rns(ke, ring.qp_primes, (d, n)), 0, 1),
-                     ring.ntt_qp)
+    e = nttm.ntt_fwd(jnp.moveaxis(
+        rng.gaussian_rns(ke, ring.qp_primes, (d, n), noise_scale=noise_scale),
+        0, 1), ring.ntt_qp)
     a_s = mm.mont_mul(a, sk.s_ntt_mont_qp[None], p, pinv)
     k0 = mm.neg_mod(mm.add_mod(a_s, e, p), p)
     sel = np.zeros((d, len(ring.qp_primes)), np.uint32)
@@ -173,44 +209,45 @@ def ks_keygen(ring: RingView, key, sk: SecretKey, target_ntt_mont,
     return KSKey(mm.to_mont(k0, p, pinv, r2), mm.to_mont(a, p, pinv, r2))
 
 
-@rng.drbg_eager
-@partial(jax.jit, static_argnames=("groups",))
-def keygen_relin(ring: RingView, key, sk: SecretKey, groups=None) -> KSKey:
+def keygen_relin(ring: RingView, key, sk: SecretKey, groups=None,
+                 a_seed: Optional[int] = None, noise_scale: int = 1) -> KSKey:
     p, pinv, *_ = ring.base_qp.bview()
     s2_mont = mm.mont_mul(sk.s_ntt_mont_qp, sk.s_ntt_mont_qp, p, pinv)
-    return ks_keygen(ring, key, sk, s2_mont, groups=groups)
+    return ks_keygen(ring, key, sk, s2_mont, groups=groups, a_seed=a_seed,
+                     noise_scale=noise_scale)
 
 
-@rng.drbg_eager
-@partial(jax.jit, static_argnames=("groups",))
 def keygen_switch(ring: RingView, key, sk_old: SecretKey, sk_new: SecretKey,
-                  groups=None) -> KSKey:
-    return ks_keygen(ring, key, sk_new, sk_old.s_ntt_mont_qp, groups=groups)
+                  groups=None, a_seed: Optional[int] = None,
+                  noise_scale: int = 1) -> KSKey:
+    return ks_keygen(ring, key, sk_new, sk_old.s_ntt_mont_qp, groups=groups,
+                     a_seed=a_seed, noise_scale=noise_scale)
 
 
-@rng.drbg_eager
-@partial(jax.jit, static_argnames=("groups",))
-def _galois_keygen_core(ring: RingView, key, sk: SecretKey, src, neg, groups=None):
+def _galois_target(ring: RingView, sk: SecretKey, src, neg):
     s_g = polyops.apply_galois_coeff(
         rng.signed_to_rns(sk.s_coeff, ring.qp_primes), src, neg,
         ring.base_qp.p[:, None])
     p, pinv, r2, *_ = ring.base_qp.bview()
-    sg_mont = mm.to_mont(nttm.ntt_fwd(s_g, ring.ntt_qp), p, pinv, r2)
-    return ks_keygen(ring, key, sk, sg_mont, groups=groups)
+    return mm.to_mont(nttm.ntt_fwd(s_g, ring.ntt_qp), p, pinv, r2)
 
 
 def keygen_galois_one(ring: RingView, key, sk: SecretKey, g: int,
-                      groups=None) -> GaloisKeyOne:
+                      groups=None, a_seed: Optional[int] = None,
+                      noise_scale: int = 1) -> GaloisKeyOne:
     n = ring.n
     src, neg = polyops.galois_perm_coeff(g, n)
     perm_ntt = polyops.galois_perm_ntt(g, n)
-    kk = _galois_keygen_core(ring, key, sk, src, neg, groups=groups)
-    return GaloisKeyOne(kk.k0, kk.k1, src, neg, perm_ntt, g)
+    kk = ks_keygen(ring, key, sk, _galois_target(ring, sk, src, neg),
+                   groups=groups, a_seed=a_seed, noise_scale=noise_scale)
+    return GaloisKeyOne(kk.k0, kk.k1, src, neg, perm_ntt, g, a_seed=kk.a_seed)
 
 
 def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
                   max_shift: int = 8, include_conj: bool = True,
-                  groups=None, elts=None) -> GaloisKey:
+                  groups=None, elts=None,
+                  a_seed: Optional[int] = None,
+                  noise_scale: int = 1) -> GaloisKey:
     """Default: powers-of-two step chain ±2^0..±2^(max_shift-1) like the
     reference (evaluationkey.cu:316-341); `steps` gives a custom rotation
     list, `elts` gives raw Galois elements directly (reference custom-elt
@@ -224,12 +261,17 @@ def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
     gl += [int(g) for g in (elts or [])]
     keys = {}
     subkeys = rng.split(key, len(gl) + 1)
-    for sk_i, g in zip(subkeys[:-1], gl):
+    for i, (sk_i, g) in enumerate(zip(subkeys[:-1], gl)):
         if g not in keys:
-            keys[g] = keygen_galois_one(ring, sk_i, sk, g, groups=groups)
+            keys[g] = keygen_galois_one(
+                ring, sk_i, sk, g, groups=groups,
+                a_seed=None if a_seed is None else a_seed + i,
+                noise_scale=noise_scale)
     if include_conj:
-        keys["conj"] = keygen_galois_one(ring, subkeys[-1], sk, 2 * n - 1,
-                                         groups=groups)
+        keys["conj"] = keygen_galois_one(
+            ring, subkeys[-1], sk, 2 * n - 1, groups=groups,
+            a_seed=None if a_seed is None else a_seed + len(gl),
+            noise_scale=noise_scale)
     return GaloisKey(keys)
 
 
@@ -284,3 +326,50 @@ def keyswitch_core(poly_q, k0, k1, base_qp: rns.Base, ntt_qp: nttm.NttTables,
     acc0, acc1 = hoisted_mac(d_ntt, k0, k1, base_qp)
     out = ks_finish(jnp.stack([acc0, acc1]), ntt_qp, div_p, out_ntt, ntt_q)
     return out[0], out[1]
+
+
+# =========================================================================
+# Seed-expanded key compression (reference common-seed storage for the
+# uniform `a` halves, host/bfv/publickey.cuh:324; README.md:76 claims up to
+# 60% serialized-size reduction with seeds + zlib)
+# =========================================================================
+
+def _regen_a(ring: RingView, a_seed: int, d: Optional[int]):
+    """Recompute the uniform Montgomery NTT-domain `a` half from its seed."""
+    ka = rng.new_key(a_seed)
+    if d is None:
+        a = rng.uniform_rns(ka, ring.qp_primes, (ring.n,))
+    else:
+        a = jnp.moveaxis(rng.uniform_rns(ka, ring.qp_primes, (d, ring.n)), 0, 1)
+    p, pinv, r2, *_ = ring.base_qp.bview()
+    return mm.to_mont(a, p, pinv, r2)
+
+
+def strip_seeded(obj):
+    """Drop the regenerable uniform halves of seed-expanded keys before
+    serialization.  Works on PublicKey / KSKey / GaloisKeyOne / GaloisKey
+    (and passes anything else through unchanged)."""
+    if isinstance(obj, PublicKey) and obj.a_seed is not None:
+        return dataclasses.replace(obj, pk1=None)
+    if isinstance(obj, KSKey) and obj.a_seed is not None:
+        return dataclasses.replace(obj, k1=None)
+    if isinstance(obj, GaloisKeyOne) and obj.a_seed is not None:
+        return dataclasses.replace(obj, k1=None)
+    if isinstance(obj, GaloisKey):
+        return GaloisKey({k: strip_seeded(v) for k, v in obj.keys.items()})
+    return obj
+
+
+def expand_seeded(obj, ring: RingView):
+    """Inverse of strip_seeded: regenerate the dropped halves on load."""
+    if isinstance(obj, PublicKey) and obj.pk1 is None:
+        return dataclasses.replace(obj, pk1=_regen_a(ring, obj.a_seed, None))
+    if isinstance(obj, KSKey) and obj.k1 is None:
+        return dataclasses.replace(
+            obj, k1=_regen_a(ring, obj.a_seed, int(obj.k0.shape[0])))
+    if isinstance(obj, GaloisKeyOne) and obj.k1 is None:
+        return dataclasses.replace(
+            obj, k1=_regen_a(ring, obj.a_seed, int(obj.k0.shape[0])))
+    if isinstance(obj, GaloisKey):
+        return GaloisKey({k: expand_seeded(v, ring) for k, v in obj.keys.items()})
+    return obj

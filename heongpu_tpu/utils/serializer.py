@@ -72,6 +72,9 @@ def _flatten(obj, arrays, path=""):
             fields[name] = _flatten(getattr(obj, name), arrays)
         return {"t": "obj", "cls": f"{cls.__module__}:{cls.__qualname__}",
                 "fields": fields}
+    if cls.__qualname__ == "GaloisKey":  # dict-of-keys bundle (ringkit)
+        return {"t": "obj", "cls": f"{cls.__module__}:{cls.__qualname__}",
+                "fields": {"keys": _flatten(obj.keys, arrays)}}
     raise TypeError(f"cannot serialize {type(obj)}")
 
 
@@ -136,8 +139,8 @@ def deserialize(data: bytes) -> Any:
     return _unflatten(desc, blobs, iter(range(n_arr)))
 
 
-def save_to_file(obj: Any, path: str):
-    data = serialize(obj)
+def save_to_file(obj: Any, path: str, level: int = 6):
+    data = serialize(obj, level=level)
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(data)))
         f.write(data)

@@ -71,3 +71,41 @@ def test_tfhe_ct_roundtrip():
     ct = tfhe.encrypt(ctx, sk, bits, rng.new_key(9))
     back, _ = _roundtrip(ct)
     np.testing.assert_array_equal(tfhe.decrypt(ctx, sk, back), bits)
+
+
+def test_seed_expanded_key_compression():
+    """Seed-expanded keys serialize ~50% smaller and expand exactly
+    (reference stores common seeds for the uniform halves,
+    host/bfv/publickey.cuh:324; README.md:76 'up to 60%' reduction)."""
+    from heongpu_tpu.models import bfv, ringkit
+    from heongpu_tpu.utils import params, rng
+
+    t = params.plain_modulus_for(256, 20)
+    ctx = bfv.make_context(256, t, q_bits=[29, 29], sec_level="none")
+    ring = bfv._ring(ctx)
+    sk = ringkit.keygen_secret(ring, rng.new_key(1))
+
+    pk = bfv.keygen_public(ctx, rng.new_key(2), sk, a_seed=4242)
+    data_full = serializer.serialize(pk)
+    data_small = serializer.serialize(ringkit.strip_seeded(pk))
+    assert len(data_small) < 0.6 * len(data_full)
+    pk2 = ringkit.expand_seeded(serializer.deserialize(data_small), ring)
+    np.testing.assert_array_equal(np.asarray(pk.pk1), np.asarray(pk2.pk1))
+    np.testing.assert_array_equal(np.asarray(pk.pk0), np.asarray(pk2.pk0))
+
+    gk = bfv.keygen_galois(ctx, rng.new_key(3), sk, steps=[1, -1], a_seed=900)
+    small = serializer.serialize(ringkit.strip_seeded(gk))
+    gk2 = ringkit.expand_seeded(serializer.deserialize(small), ring)
+    for name in gk.keys:
+        np.testing.assert_array_equal(np.asarray(gk.keys[name].k1),
+                                      np.asarray(gk2.keys[name].k1))
+
+    # an unseeded key is unaffected by strip/expand
+    rk = bfv.keygen_relin(ctx, rng.new_key(4), sk)
+    assert ringkit.strip_seeded(rk) is rk
+
+    # and the seeded public key still encrypts correctly
+    m = np.arange(256) % ctx.t
+    ct = bfv.encrypt(ctx, pk2, bfv.encode(ctx, m), rng.new_key(5))
+    got = bfv.decode(ctx, bfv.decrypt(ctx, sk, ct))
+    np.testing.assert_array_equal(got, m.astype(np.uint32))
