@@ -1,0 +1,177 @@
+"""Large-N CKKS bootstrapping latency on the real TPU chip.
+
+Mirrors the reference's headline bootstrapping benchmarks
+(/root/reference/README.md:97-123: regular < 170 ms at N=2^16 on an RTX
+4090; slim/bit/gate tables).  The whole pipeline is one jitted program with
+the key bundle passed as a pytree argument; XLA's persistent compilation
+cache amortizes the (large) first compile across runs.
+
+Usage:
+  python benchmarks/benchmark_boot.py [--n 65536] [--variant regular]
+         [--depth 20] [--reps 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from heongpu_tpu.models import ckks, ckks_boot, ckks_boot_ext  # noqa: E402
+from heongpu_tpu.utils import rng  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--depth", type=int, default=20)
+    ap.add_argument("--variant", default="regular",
+                    choices=["regular", "slim"])
+    ap.add_argument("--pieces", type=int, default=3)
+    ap.add_argument("--taylor", type=int, default=7)
+    ap.add_argument("--squarings", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--alpha", type=int, default=4)
+    ap.add_argument("--p-count", type=int, default=None, dest="p_count")
+    ap.add_argument("--base-count", type=int, default=1, dest="base_count",
+                    help="primes in the boot base Q0 (2 = composite-q0 "
+                    "precision mode)")
+    ap.add_argument("--debug", action="store_true",
+                    help="decrypt between phases (regular only)")
+    args = ap.parse_args()
+
+    N, DEPTH = args.n, args.depth
+    t0 = time.time()
+    ctx = ckks.make_context(
+        N, [29] * args.base_count + [28] * (DEPTH - args.base_count),
+        scale_bits=28, sec_level="none", ks_type="II", alpha=args.alpha,
+        p_count=args.p_count)
+    print(f"context: {time.time()-t0:.1f} s "
+          f"(N={N}, {DEPTH} limbs, METHOD_II alpha={args.alpha})", flush=True)
+
+    t0 = time.time()
+    # sparse secret: the regular Taylor EvalMod needs a small mod-raise
+    # overflow bound ||I|| (reference uses sparse keys / sparse-secret
+    # switching for bootstrapping; dense keys blow the sin(x) interval)
+    sk = ckks.keygen_secret(ctx, rng.new_key(61), hamming_weight=args.hw)
+    pk = ckks.keygen_public(ctx, rng.new_key(62), sk)
+    print(f"sk/pk: {time.time()-t0:.1f} s", flush=True)
+
+    t0 = time.time()
+    from heongpu_tpu.utils import serializer
+    cache_dir = os.path.join(os.path.dirname(CACHE), ".bootcache")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = (f"{args.variant}_n{N}_d{DEPTH}_p{args.pieces}_t{args.taylor}"
+           f"_s{args.squarings}_hw{args.hw}_a{args.alpha}"
+           f"_pc{args.p_count}_bc{args.base_count}")
+    cache_file = os.path.join(cache_dir, tag + ".bin")
+    if args.variant == "regular":
+        entry = ckks_boot.regular_bootstrap
+        drop_to = ctx.k - args.base_count
+    else:
+        entry = ckks_boot_ext.slim_bootstrap
+    if os.path.exists(cache_file):
+        keys = serializer.load_from_file(cache_file)
+        print(f"boot keys loaded from cache: {time.time()-t0:.1f} s",
+              flush=True)
+    else:
+        if args.variant == "regular":
+            cfg = ckks_boot.BootConfig(taylor_degree=args.taylor,
+                                       exp_squarings=args.squarings,
+                                       ctos_pieces=args.pieces,
+                                       stoc_pieces=args.pieces,
+                                       base_count=args.base_count)
+            keys = ckks_boot.generate_bootstrap_keys(ctx, rng.new_key(63), sk,
+                                                     cfg)
+        else:
+            cfg = ckks_boot_ext.BootConfigV2(cos_degree=24, double_angles=5,
+                                             K=12, ctos_pieces=args.pieces,
+                                             stoc_pieces=args.pieces)
+            keys = ckks_boot_ext.generate_bootstrap_keys_v2(
+                ctx, rng.new_key(63), sk, cfg, variant="slim",
+                msg_scale=2.0 ** 22)
+        print(f"boot keys: {time.time()-t0:.1f} s", flush=True)
+        t0 = time.time()
+        serializer.save_to_file(keys, cache_file, level=1)
+        print(f"boot keys cached: {time.time()-t0:.1f} s", flush=True)
+    if args.variant == "slim":
+        drop_to = keys.stoc_pieces[0].level
+
+    z = np.random.default_rng(0).uniform(-0.5, 0.5, N // 2)
+    scale = keys.msg_scale if args.variant == "slim" else None
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=scale),
+                      rng.new_key(64))
+    ct = ckks.mod_drop(ctx, ct, drop_to)
+
+    if args.debug and args.variant == "regular":
+        import math
+        q0 = 1
+        for qj in ctx.q_primes[:args.base_count]:
+            q0 *= int(qj)
+        raised = ckks_boot.mod_raise(ctx, ct, args.base_count)
+        pt = ckks.decrypt(ctx, sk, raised)
+        coeffs = ckks.decode_coeff(
+            ctx, ckks.Plaintext(pt.m, pt.level, 1.0))
+        print(f"[dbg] mod_raise: |I|max ~ {np.max(np.abs(coeffs))/q0:.2f} q0",
+              flush=True)
+        t0v, t1v = jax.jit(ckks_boot.coeff_to_slot)(ctx, raised, keys)
+        g0 = ckks.decode(ctx, ckks.decrypt(ctx, sk, t0v))
+        # expected: theta0 of the low coeffs = c_in * coeff (incl. q0*I)
+        cfgv = keys.cfg
+        c_in = 2 * math.pi * keys.msg_scale / ((1 << cfgv.exp_squarings) * q0)
+        want0 = c_in * coeffs[: ctx.n // 2] / keys.msg_scale
+        print(f"[dbg] CtoS t0: max|got-want| = "
+              f"{np.max(np.abs(g0.real - want0)):.3e}, "
+              f"|theta0|max = {np.max(np.abs(want0)):.3f}", flush=True)
+        s0v = jax.jit(ckks_boot.eval_exp_sin)(ctx, t0v, keys)
+        gs = ckks.decode(ctx, ckks.decrypt(ctx, sk, s0v))
+        want_s = 2j * np.sin((1 << cfgv.exp_squarings) * want0)
+        print(f"[dbg] exp_sin: max|got-want| = "
+              f"{np.max(np.abs(gs - want_s)):.3e}", flush=True)
+
+    f = jax.jit(entry)
+    t0 = time.time()
+    out = f(ctx, ct, keys)
+    jax.block_until_ready(out.c)
+    print(f"first call (compile+run): {time.time()-t0:.1f} s", flush=True)
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        jax.block_until_ready(f(ctx, ct, keys).c)
+        times.append(time.time() - t0)
+    lat_ms = 1e3 * min(times)
+
+    got = ckks.decode(ctx, ckks.decrypt(ctx, sk, out))
+    errs = np.abs(got.real - z)
+    err = float(errs.max())
+    print(f"err percentiles: p50={np.percentile(errs,50):.2e} "
+          f"p99={np.percentile(errs,99):.2e} p99.9={np.percentile(errs,99.9):.2e} "
+          f"max={err:.2e} bad_slots(>10*p99)={int((errs > 10*np.percentile(errs,99)).sum())}",
+          flush=True)
+    slots = N // 2
+    result = {
+        "metric": f"ckks_n{N}_{args.variant}_bootstrap_ms",
+        "value": round(lat_ms, 2),
+        "unit": "ms",
+        "amortized_us_per_slot": round(lat_ms * 1e3 / slots, 3),
+        "max_err": err,
+        "levels_left": ctx.active(out.level),
+        "times_ms": [round(1e3 * t, 1) for t in times],
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,12 +45,13 @@ import jax.numpy as jnp
 
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
-from ..ops import polyops, rns
+from ..ops import compose, polyops, rns
+from ..utils import rng
 from . import ckks, ringkit
 from .ckks import CkksContext, Ciphertext
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True, eq=True)
 class BootConfig:
     """Mirrors the reference BootstrappingConfig{CtoS_piece, StoC_piece,
     taylor_number, less_key_mode} (util/util.cuh:176-202)."""
@@ -58,6 +59,22 @@ class BootConfig:
     exp_squarings: int = 5      # r: exp(theta/2^r) Taylor, then square r times
     ctos_pieces: int = 2        # reference CtoS_piece (2..5)
     stoc_pieces: int = 2        # reference StoC_piece (2..5)
+    base_count: int = 1         # primes forming the boot base Q0 = q0..q_{bc-1}
+    # base_count 2 is the <2^30-prime answer to the reference's 60-bit q0 /
+    # 40-bit scale: Q0 = q0*q1 ~ 2^58 AND a composite message scale
+    # Delta ~ 2^56 (msg_scale must be ~ prod of base_count scale primes, so
+    # every EvalMod ct*ct rescales base_count times).  Q0/Delta stays ~4 (same
+    # sine range as base_count=1) while the noise floor relative to the
+    # message drops from 2^-28 to 2^-56 — the exit constant Q0/(2*pi*Delta)
+    # no longer amplifies keyswitch/Taylor noise into the message.
+    arcsin_order: int = 0       # 1: v - v^3/24 arcsine correction of the sine
+    # With the noise floor at 2^-56 the residual error is the sine
+    # linearisation itself, m - (Q0/2piD)*sin(2pi m/Q0) ~ x^3/6 on coefficient
+    # magnitudes x = 2pi*coeff/Q0 (~3e-4 measured).  One arcsin series term
+    # (asin s = s + s^3/6 + ...) on v = 2i*sin(theta) is w = v - v^3/24,
+    # killing the x^3 term; residual drops to 3x^5/40 (~1e-6).  Costs
+    # 2*base_count+1 levels (reference covers this regime with the Chebyshev
+    # eval_mod path instead, operator.cu:4036).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +121,24 @@ class BootKeys:
     def out_level(self) -> int:
         return (len(self.ctos_pieces) + self.cfg.taylor_degree +
                 self.cfg.exp_squarings + len(self.stoc_pieces))
+
+
+def _bk_flatten(k: BootKeys):
+    children = (k.gk, k.rk, tuple(k.ctos_pieces), tuple(k.stoc_pieces),
+                k.mult_i, k.mult_neg_i)
+    aux = (k.cfg, k.msg_scale)
+    return children, aux
+
+
+def _bk_unflatten(aux, children):
+    cfg, msg_scale = aux
+    gk, rk, ctos, stoc, mi, mni = children
+    return BootKeys(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
+                    ctos_pieces=list(ctos), stoc_pieces=list(stoc),
+                    mult_i=mi, mult_neg_i=mni)
+
+
+jax.tree_util.register_pytree_node(BootKeys, _bk_flatten, _bk_unflatten)
 
 
 # =========================================================================
@@ -204,14 +239,15 @@ def _bsgs_split(offsets: Sequence[int], ns: int) -> Tuple[int, Dict]:
 # Key / plaintext generation
 # =========================================================================
 
-def _encode_diag_qtilde(ctx: CkksContext, vec: np.ndarray, level: int,
-                        scale: float) -> np.ndarray:
-    """Encode slot vector over the extended basis Q̃ (active Q limbs + P):
-    host canonical embedding -> rounded integers -> residues (numpy)."""
-    a = ckks._embed_coeffs_from_slots(ctx, vec) * scale
+def encode_diags_qtilde(ctx: CkksContext, vecs, level: int,
+                        scale: float) -> jnp.ndarray:
+    """Batch-encode slot vectors over the extended basis Q̃ (active Q limbs
+    + P) on device: df64 special FFT + exact RNS reduction
+    (ops/sfft.py/compose.py; replaces the reference's GPU-FFT + compose
+    kernels, src/lib/host/ckks/encoder.cu:103-220)."""
     ka = ctx.active(level)
-    limbs = list(ctx.q_primes[:ka]) + list(ctx.p_primes)
-    return ckks.coeffs_to_rns(a, limbs)
+    limbs = tuple(ctx.q_primes[:ka]) + tuple(ctx.p_primes)
+    return ckks.encode_batch_rns(ctx.n, np.stack(vecs), limbs, scale)
 
 
 def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
@@ -248,24 +284,33 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
     EvalMod constants folded in (reference Vandermonde builder + galois
     key-index generation, operator.cu:5594-6580)."""
     cfg = cfg or BootConfig()
-    msg_scale = float(msg_scale or ctx.default_scale)
+    if msg_scale is None:
+        # composite base needs a composite scale (see BootConfig.base_count)
+        msg_scale = float(ctx.default_scale) ** cfg.base_count
+    msg_scale = float(msg_scale)
     n = ctx.n
-    q0 = int(ctx.q_primes[0])
+    q0 = 1
+    for qj in ctx.q_primes[:cfg.base_count]:
+        q0 *= int(qj)
     c_in = 2 * math.pi * msg_scale / ((1 << cfg.exp_squarings) * q0)
     c_out = (-0.5j) * q0 / (2 * math.pi * msg_scale)
 
     ctos_mats = build_dft_pieces(n, cfg.ctos_pieces, True, c_in / 2)
     stoc_mats = build_dft_pieces(n, cfg.stoc_pieces, False, c_out)
     p1 = len(ctos_mats)
-    stoc_level0 = p1 + cfg.taylor_degree + cfg.exp_squarings
+    # EvalMod depth: 1 level for the leading multiply_plain, base_count per
+    # Horner ct*ct step and per squaring (composite scale rescales bc times)
+    bc = cfg.base_count
+    stoc_level0 = (p1 + 1 + (cfg.taylor_degree - 1) * bc
+                   + cfg.exp_squarings * bc
+                   + (2 * bc + 1 if cfg.arcsin_order else 0))
 
     def batch_encode(vecs, level, scale):
-        res = np.stack([_encode_diag_qtilde(ctx, v, level, scale)
-                        for v in vecs])
+        res = encode_diags_qtilde(ctx, vecs, level, scale)
         tb = ctx.ntt_qp_at(level)
         base = ctx.base_qp_at(level)
         p, pinv, r2, *_ = base.bview()
-        return mm.to_mont(nttm.ntt_fwd(jnp.asarray(res), tb), p, pinv, r2)
+        return mm.to_mont(nttm.ntt_fwd(res, tb), p, pinv, r2)
 
     ctos_pieces = [_build_piece(ctx, m, lvl, batch_encode)
                    for lvl, m in enumerate(ctos_mats)]
@@ -290,23 +335,34 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
 # Building blocks
 # =========================================================================
 
-def mod_raise(ctx: CkksContext, ct: Ciphertext) -> Ciphertext:
-    """Lift a 1-limb ciphertext to the full chain (adds q0*I(X));
-    reference mod_raise_kernel."""
-    assert ctx.active(ct.level) == 1, "mod_raise expects one remaining limb"
-    tb1 = ctx.ntt_qp.slice_limbs(0, 1)
-    coeff = nttm.ntt_inv(ct.c, tb1)
-    q0 = jnp.uint32(int(ctx.q_primes[0]))
-    v = coeff[:, 0, :]
-    neg = v > (q0 >> 1)
-    mag = jnp.where(neg, q0 - v, v)
-    full = []
-    for qj in ctx.q_primes:
-        pj = jnp.uint32(int(qj))
-        muj = jnp.uint32(mm.barrett_mu(int(qj)))
-        mj = mm.barrett32(mag, pj, muj)
-        full.append(jnp.where(neg, mm.neg_mod(mj, pj), mj))
-    raised = jnp.stack(full, axis=1)
+def mod_raise(ctx: CkksContext, ct: Ciphertext,
+              base_count: int = 1) -> Ciphertext:
+    """Lift a base_count-limb ciphertext to the full chain (adds Q0*I(X));
+    reference mod_raise_kernel.  base_count >= 2 composes the centered
+    [x]_{Q0} residue exactly on device (ops/compose.mod_primes_centered)
+    instead of the reference's big-int compose."""
+    assert ctx.active(ct.level) == base_count, (
+        f"mod_raise expects {base_count} remaining limb(s), "
+        f"got {ctx.active(ct.level)}")
+    tbb = ctx.ntt_qp.slice_limbs(0, base_count)
+    coeff = nttm.ntt_inv(ct.c, tbb)
+    if base_count == 1:
+        q0 = jnp.uint32(int(ctx.q_primes[0]))
+        v = coeff[:, 0, :]
+        neg = v > (q0 >> 1)
+        mag = jnp.where(neg, q0 - v, v)
+        full = []
+        for qj in ctx.q_primes:
+            pj = jnp.uint32(int(qj))
+            muj = jnp.uint32(mm.barrett_mu(int(qj)))
+            mj = mm.barrett32(mag, pj, muj)
+            full.append(jnp.where(neg, mm.neg_mod(mj, pj), mj))
+        raised = jnp.stack(full, axis=1)
+    else:
+        base_primes = tuple(int(q) for q in ctx.q_primes[:base_count])
+        tabs = ckks._compose_tabs(base_primes)
+        raised = compose.mod_primes_centered(
+            coeff, base_primes, tuple(int(q) for q in ctx.q_primes), tabs)
     return Ciphertext(nttm.ntt_fwd(raised, ctx.ntt_q(0)), 2, 0, ct.scale)
 
 
@@ -372,8 +428,11 @@ def _const_pt(ctx, ct, value, scale):
                        scale=scale, level=ct.level)
 
 
-def _mul_ct(ctx, a, b, rk) -> Ciphertext:
-    return ckks.rescale(ctx, ckks.relinearize(ctx, ckks.multiply(ctx, a, b), rk))
+def _mul_ct(ctx, a, b, rk, times: int = 1) -> Ciphertext:
+    out = ckks.relinearize(ctx, ckks.multiply(ctx, a, b), rk)
+    for _ in range(times):
+        out = ckks.rescale(ctx, out)
+    return out
 
 
 def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
@@ -383,6 +442,7 @@ def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
     Reference exp_scaled / exp_taylor_approximation (operator.cu:4036)."""
     d = keys.cfg.taylor_degree
     r = keys.cfg.exp_squarings
+    bc = keys.cfg.base_count
     coefs = [(1j ** j) / math.factorial(j) for j in range(d + 1)]
     acc = ckks.rescale(ctx, ckks.multiply_plain(
         ctx, x, _const_pt(ctx, x, coefs[d],
@@ -390,12 +450,23 @@ def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
     acc = ckks.add_plain(ctx, acc, _const_pt(ctx, acc, coefs[d - 1], acc.scale))
     for j in range(d - 2, -1, -1):
         xj = ckks.mod_drop(ctx, x, acc.level - x.level)
-        acc = _mul_ct(ctx, acc, xj, keys.rk)
+        acc = _mul_ct(ctx, acc, xj, keys.rk, times=bc)
         acc = ckks.add_plain(ctx, acc, _const_pt(ctx, acc, coefs[j], acc.scale))
     for _ in range(r):
-        acc = _mul_ct(ctx, acc, acc, keys.rk)
+        acc = _mul_ct(ctx, acc, acc, keys.rk, times=bc)
     uc = ckks.conjugate(ctx, acc, keys.gk)
-    return ckks.sub(ctx, acc, uc)
+    v = ckks.sub(ctx, acc, uc)           # 2i*sin(theta)
+    if keys.cfg.arcsin_order:
+        # w = v*(1 - v^2/24): the s^3/6 arcsine term (see BootConfig)
+        v2 = _mul_ct(ctx, v, v, keys.rk, times=bc)
+        inner = ckks.rescale(ctx, ckks.multiply_plain(
+            ctx, v2, _const_pt(ctx, v2, -1.0 / 24.0,
+                               float(ctx.q_primes[ctx.active(v2.level) - 1]))))
+        inner = ckks.add_plain(ctx, inner,
+                               _const_pt(ctx, inner, 1.0, inner.scale))
+        vd = ckks.mod_drop(ctx, v, inner.level - v.level)
+        v = _mul_ct(ctx, vd, inner, keys.rk, times=bc)
+    return v
 
 
 def coeff_to_slot(ctx, ct: Ciphertext, keys: BootKeys):
@@ -431,7 +502,7 @@ def regular_bootstrap(ctx: CkksContext, ct: Ciphertext, keys: BootKeys) -> Ciphe
     """Input: coefficient-encoded message at the last level (1 limb).
     Output: same message at a fresh low depth
     (reference regular_bootstrapping, operator.cu:7003)."""
-    raised = mod_raise(ctx, ct)
+    raised = mod_raise(ctx, ct, keys.cfg.base_count)
     t0, t1 = coeff_to_slot(ctx, raised, keys)
     s0 = eval_exp_sin(ctx, t0, keys)
     s1 = eval_exp_sin(ctx, t1, keys)

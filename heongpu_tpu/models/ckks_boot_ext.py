@@ -33,12 +33,13 @@ from typing import List, Optional
 import numpy as np
 import jax
 
+from ..utils import rng
 from . import ckks, ckks_boot, poly_eval, ringkit
 from .ckks import CkksContext, Ciphertext
 from .ckks_boot import BootConfig, Piece, build_dft_pieces, _build_piece
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True, eq=True)
 class BootConfigV2:
     """Reference BootstrappingConfigV2{EncodingMatrixConfig, EvalModConfig}
     (util/util.cuh:77-174)."""
@@ -50,6 +51,7 @@ class BootConfigV2:
     K: int = 12                 # mod-raise overflow bound ||I||_inf
     ctos_pieces: int = 2
     stoc_pieces: int = 2
+    base_count: int = 1         # primes in the boot base Q0 (see BootConfig)
 
     @property
     def evalmod_depth(self) -> int:
@@ -117,7 +119,9 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
       at levels 0..p1-1 after the mod-raise; no trailing StoC."""
     cfg = cfg or BootConfigV2()
     n = ctx.n
-    q0 = int(ctx.q_primes[0])
+    q0 = 1
+    for qj in ctx.q_primes[:cfg.base_count]:
+        q0 *= int(qj)
     if msg_scale is None:
         # bit/gate payloads are encoded at the ePrint 2024/767 scales; the
         # CtoS fold must be built against the actual input scale
@@ -147,7 +151,7 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
                        for i, m in enumerate(stoc_mats)]
     else:
         stoc_mats = build_dft_pieces(n, cfg.stoc_pieces, False, 1.0)
-        lvl0 = ctx.k - 1 - len(stoc_mats)
+        lvl0 = ctx.k - cfg.base_count - len(stoc_mats)
         assert lvl0 >= 0, "chain too short for slim StoC placement"
         stoc_pieces = [_build_piece(ctx, m, lvl0 + i, _encoder(ctx))
                        for i, m in enumerate(stoc_mats)]
@@ -195,12 +199,11 @@ def _encoder(ctx):
     import jax.numpy as jnp
 
     def batch_encode(vecs, level, scale):
-        res = np.stack([ckks_boot._encode_diag_qtilde(ctx, v, level, scale)
-                        for v in vecs])
+        res = ckks_boot.encode_diags_qtilde(ctx, vecs, level, scale)
         tb = ctx.ntt_qp_at(level)
         base = ctx.base_qp_at(level)
         p, pinv, r2, *_ = base.bview()
-        return mm.to_mont(nttm.ntt_fwd(jnp.asarray(res), tb), p, pinv, r2)
+        return mm.to_mont(nttm.ntt_fwd(res, tb), p, pinv, r2)
 
     return batch_encode
 
@@ -263,7 +266,7 @@ def _raise_maybe_sparse(ctx, m, keys: BootKeysV2):
     """mod-raise, optionally under the temporary sparse key."""
     if keys.swk_to_sparse is not None:
         m = ckks.switch_key(ctx, m, keys.swk_to_sparse)
-    raised = ckks_boot.mod_raise(ctx, m)
+    raised = ckks_boot.mod_raise(ctx, m, keys.cfg.base_count)
     if keys.swk_to_dense is not None:
         raised = ckks.switch_key(ctx, raised, keys.swk_to_dense)
     return raised
@@ -282,14 +285,17 @@ def slim_bootstrap(ctx: CkksContext, ct: Ciphertext,
     m = ct
     for piece in keys.stoc_pieces:
         m = ckks_boot.matvec_piece(ctx, m, piece, keys.gk)
-    assert ctx.active(m.level) == 1, "slim StoC must end on the last limb"
+    assert ctx.active(m.level) == keys.cfg.base_count, \
+        "slim StoC must end on the boot base limbs"
     raised = _raise_maybe_sparse(ctx, m, keys)
     t0, t1 = _coeff_to_slot(ctx, raised, keys)
     s0 = eval_mod_sin(ctx, t0, keys)
     s1 = eval_mod_sin(ctx, t1, keys)
     out = ckks.add(ctx, s0, ckks.multiply_by_monomial(ctx, s1, keys.mult_i))
-    # value = sin(2π·Δm/q0) ≈ 2πΔ/q0 · m: absorb the exit constant in scale
-    q0 = int(ctx.q_primes[0])
+    # value = sin(2π·Δm/Q0) ≈ 2πΔ/Q0 · m: absorb the exit constant in scale
+    q0 = 1
+    for qj in ctx.q_primes[:keys.cfg.base_count]:
+        q0 *= int(qj)
     out_scale = out.scale * 2 * math.pi * keys.msg_scale / q0
     return Ciphertext(out.c, out.size, out.level, out_scale)
 
