@@ -35,7 +35,9 @@ SURVEY §2.4/§3.4), redesigned for TPU:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import math
+import os
 from functools import reduce
 from typing import Dict, List, Sequence, Tuple
 
@@ -191,13 +193,33 @@ def compose_diags(A: Dict[int, np.ndarray], B: Dict[int, np.ndarray],
     return {k: v for k, v in C.items() if np.max(np.abs(v)) > 1e-14}
 
 
+def _dft_cache_path(n: int, num_pieces: int, inverse: bool, fold: complex):
+    cache_dir = os.environ.get("HEONGPU_BOOTCACHE", "")
+    if not cache_dir:
+        return None
+    key = hashlib.sha1(repr((n, num_pieces, bool(inverse),
+                             complex(fold))).encode()).hexdigest()[:20]
+    return os.path.join(cache_dir, f"dft_{key}.npz")
+
+
 def build_dft_pieces(n: int, num_pieces: int, inverse: bool,
                      fold: complex) -> List[Dict[int, np.ndarray]]:
     """Group the special-FFT stages into `num_pieces` merged factors, in
     application order, with `fold` distributed evenly across pieces.
 
     CtoS uses inverse=True (stages S_half^-1 .. S_2^-1); StoC inverse=False
-    (S_2 .. S_half).  Bit-reversal is skipped on both sides (cancels)."""
+    (S_2 .. S_half).  Bit-reversal is skipped on both sides (cancels).
+
+    The composed diagonals only depend on (n, num_pieces, inverse, fold); at
+    N=2^16 composing them costs minutes of host numpy, so set
+    HEONGPU_BOOTCACHE=<dir> to memoize them on disk (analog of the reference
+    building E_diagonal factors once per context, operator.cu:5594)."""
+    path = _dft_cache_path(n, num_pieces, inverse, fold)
+    if path is not None and os.path.exists(path):
+        with np.load(path) as zf:
+            npieces = int(zf["num_pieces"])
+            return [{int(off): zf[f"v{i}_{off}"]
+                     for off in zf[f"offs{i}"]} for i in range(npieces)]
     half = n // 2
     lens = [2]
     while lens[-1] < half:
@@ -215,6 +237,15 @@ def build_dft_pieces(n: int, num_pieces: int, inverse: bool,
         for i in ch[1:]:
             mat = compose_diags(applied[i], mat, half)
         pieces.append({k: v * per_piece for k, v in mat.items()})
+    if path is not None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {"num_pieces": np.int64(len(pieces))}
+        for i, pc in enumerate(pieces):
+            payload[f"offs{i}"] = np.array(sorted(pc), np.int64)
+            for off, v in pc.items():
+                payload[f"v{i}_{off}"] = v
+        np.savez(path + ".tmp", **payload)
+        os.replace(path + ".tmp.npz", path)
     return pieces
 
 
