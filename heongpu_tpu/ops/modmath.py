@@ -154,6 +154,19 @@ def shoup_mul(a, w, w_shoup, p):
     return cond_sub(r, p)
 
 
+def shoup_mul_lazy(a, w, w_shoup, p):
+    """Harvey lazy Shoup product: a*w mod p in [0, 2p) — the final
+    conditional subtraction is deferred to the caller.
+
+    Valid for ANY uint32 a (including lazy inputs in [0, 4p)) and w < p:
+    q = floor(a*w_sh/2^32) is within 1 of floor(a*w/p), so a*w - q*p lands
+    in [0, 2p).  This is what lets NTT butterfly chains keep values in
+    [0, 2p) across stages with one reduction at the end (the TPU analog of
+    GPU-NTT's lazy 64-bit butterflies)."""
+    q = mul_hi(a, w_shoup)
+    return a * w - q * p
+
+
 def barrett32(x, p, mu):
     """x mod p for any uint32 x; mu = floor(2^32/p).  Up to 3 corrections."""
     q = mul_hi(x, mu)

@@ -309,10 +309,16 @@ def build_ntt_tables(primes, n: int, psis=None, use_mxu=None) -> NttTables:
 def _gs_stages(y, tws, tws_sh, p):
     """Gentleman-Sande (DIF) stages along axis -2 of (..., L, S, W):
     natural order in, bit-reversed order out.  Twiddle s has shape (L, 2^(s-1))
-    and is consumed from the largest stage down."""
+    and is consumed from the largest stage down.
+
+    Harvey-lazy: values stay in [0, 2p) across stages.  The add branch
+    reduces u+v < 4p by one conditional 2p; the twiddle branch uses the
+    lazy Shoup form on (u + 2p) - v < 4p, landing in [0, 2p) with no
+    conditional at all.  Callers do one deferred reduction at the end."""
     shp = y.shape
     size = shp[-2]
     pb = p[:, None, None, None]
+    p2 = pb + pb
     for s in reversed(range(1, len(tws) + 1)):
         m = 1 << s
         z = y.reshape(shp[:-2] + (size // m, m, shp[-1]))
@@ -320,16 +326,21 @@ def _gs_stages(y, tws, tws_sh, p):
         v = z[..., m // 2:, :]
         tw = tws[s - 1][:, None, :, None]
         tw_sh = tws_sh[s - 1][:, None, :, None]
-        t = mm.shoup_mul(mm.sub_mod(u, v, pb), tw, tw_sh, pb)
-        y = jnp.concatenate([mm.add_mod(u, v, pb), t], axis=-2).reshape(shp)
+        t = mm.shoup_mul_lazy((u + p2) - v, tw, tw_sh, pb)
+        y = jnp.concatenate([mm.cond_sub(u + v, p2), t],
+                            axis=-2).reshape(shp)
     return y
 
 
 def _ct_stages(y, tws, tws_sh, p):
-    """Cooley-Tukey (DIT) stages along axis -2: bit-reversed in, natural out."""
+    """Cooley-Tukey (DIT) stages along axis -2: bit-reversed in, natural out.
+
+    Harvey-lazy like _gs_stages: t = lazy-Shoup(v·tw) in [0, 2p); both
+    output branches reduce by one conditional 2p back into [0, 2p)."""
     shp = y.shape
     size = shp[-2]
     pb = p[:, None, None, None]
+    p2 = pb + pb
     for s in range(1, len(tws) + 1):
         m = 1 << s
         z = y.reshape(shp[:-2] + (size // m, m, shp[-1]))
@@ -337,9 +348,10 @@ def _ct_stages(y, tws, tws_sh, p):
         v = z[..., m // 2:, :]
         tw = tws[s - 1][:, None, :, None]
         tw_sh = tws_sh[s - 1][:, None, :, None]
-        t = mm.shoup_mul(v, tw, tw_sh, pb)
+        t = mm.shoup_mul_lazy(v, tw, tw_sh, pb)
         y = jnp.concatenate(
-            [mm.add_mod(u, t, pb), mm.sub_mod(u, t, pb)], axis=-2).reshape(shp)
+            [mm.cond_sub(u + t, p2), mm.cond_sub((u + p2) - t, p2)],
+            axis=-2).reshape(shp)
     return y
 
 
@@ -352,14 +364,15 @@ def ntt_fwd(x, tb: NttTables):
     n1, n2 = tb.n1, tb.n2
     lead = x.shape[:-1]
     p = tb.p[:, None]
-    y = mm.shoup_mul(x, tb.psi, tb.psi_sh, p)
+    y = mm.shoup_mul_lazy(x, tb.psi, tb.psi_sh, p)
     y = y.reshape(lead + (n1, n2))
     y = _gs_stages(y, tb.tw1, tb.tw1_sh, tb.p)
     y = y.reshape(lead + (tb.n,))
-    y = mm.shoup_mul(y, tb.tw_mat, tb.tw_mat_sh, p)
+    y = mm.shoup_mul_lazy(y, tb.tw_mat, tb.tw_mat_sh, p)
     y = jnp.swapaxes(y.reshape(lead + (n1, n2)), -1, -2)
     y = _gs_stages(y, tb.tw2, tb.tw2_sh, tb.p)
-    return y.reshape(lead + (tb.n,))
+    # single deferred reduction from the lazy [0, 2p) stage range
+    return mm.cond_sub(y.reshape(lead + (tb.n,)), p)
 
 
 def ntt_inv(x, tb: NttTables):
@@ -373,10 +386,12 @@ def ntt_inv(x, tb: NttTables):
     y = x.reshape(lead + (n2, n1))
     y = _ct_stages(y, tb.itw2, tb.itw2_sh, tb.p)
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (tb.n,))
-    y = mm.shoup_mul(y, tb.itw_mat, tb.itw_mat_sh, p)
+    y = mm.shoup_mul_lazy(y, tb.itw_mat, tb.itw_mat_sh, p)
     y = y.reshape(lead + (n1, n2))
     y = _ct_stages(y, tb.itw1, tb.itw1_sh, tb.p)
     y = y.reshape(lead + (tb.n,))
+    # exact final scaling; shoup_mul tolerates the lazy [0, 2p) input and
+    # its conditional subtraction doubles as the deferred reduction
     return mm.shoup_mul(y, tb.ipsi_n, tb.ipsi_n_sh, p)
 
 
