@@ -40,9 +40,17 @@ def _shoup(a, w, w_sh, p):
     return jnp.where(r >= p, r - p, r)
 
 
+def _shoup_lazy(a, w, w_sh, p):
+    """Harvey lazy Shoup: result in [0, 2p) for any uint32 a, w < p."""
+    q = mm.mul_hi(a, w_sh)
+    return a * w - q * p
+
+
 def _gs_stages_2d(y, limb, tws, tws_sh, p):
-    """GS/DIF stages along axis 0 of (S, W); tws[s-1] ref shape (L, 2^(s-1))."""
+    """GS/DIF stages along axis 0 of (S, W); tws[s-1] ref shape (L, 2^(s-1)).
+    Harvey-lazy: values in [0, 2p) across stages (see ops/ntt.py)."""
     size, w = y.shape
+    p2 = p + p
     for s in reversed(range(1, len(tws) + 1)):
         m = 1 << s
         z = y.reshape(size // m, m, w)
@@ -51,16 +59,16 @@ def _gs_stages_2d(y, limb, tws, tws_sh, p):
         tw = tws[s - 1][limb][None, :, None]
         tw_sh = tws_sh[s - 1][limb][None, :, None]
         add = u + v
-        add = jnp.where(add >= p, add - p, add)
-        sub = jnp.where(u >= v, u - v, (u + p) - v)
-        y = jnp.concatenate([add, _shoup(sub, tw, tw_sh, p)],
-                            axis=1).reshape(size, w)
+        add = jnp.where(add >= p2, add - p2, add)
+        t = _shoup_lazy((u + p2) - v, tw, tw_sh, p)
+        y = jnp.concatenate([add, t], axis=1).reshape(size, w)
     return y
 
 
 def _ct_stages_2d(y, limb, tws, tws_sh, p):
-    """CT/DIT stages along axis 0 of (S, W)."""
+    """CT/DIT stages along axis 0 of (S, W), Harvey-lazy like _gs_stages_2d."""
     size, w = y.shape
+    p2 = p + p
     for s in range(1, len(tws) + 1):
         m = 1 << s
         z = y.reshape(size // m, m, w)
@@ -68,10 +76,11 @@ def _ct_stages_2d(y, limb, tws, tws_sh, p):
         v = z[:, m // 2:, :]
         tw = tws[s - 1][limb][None, :, None]
         tw_sh = tws_sh[s - 1][limb][None, :, None]
-        t = _shoup(v, tw, tw_sh, p)
+        t = _shoup_lazy(v, tw, tw_sh, p)
         add = u + t
-        add = jnp.where(add >= p, add - p, add)
-        sub = jnp.where(u >= t, u - t, (u + p) - t)
+        add = jnp.where(add >= p2, add - p2, add)
+        sub = (u + p2) - t
+        sub = jnp.where(sub >= p2, sub - p2, sub)
         y = jnp.concatenate([add, sub], axis=1).reshape(size, w)
     return y
 
@@ -85,12 +94,12 @@ def _fwd_kernel(L, log1, log2, x_ref, p_ref, psi_ref, psi_sh_ref,
     tw1_sh = stage_refs[log1: 2 * log1]
     tw2 = stage_refs[2 * log1: 2 * log1 + log2]
     tw2_sh = stage_refs[2 * log1 + log2:]
-    y = _shoup(x_ref[0], psi_ref[0], psi_sh_ref[0], p)
+    y = _shoup_lazy(x_ref[0], psi_ref[0], psi_sh_ref[0], p)
     y = _gs_stages_2d(y, limb, tw1, tw1_sh, p)
-    y = _shoup(y, twm_ref[0], twm_sh_ref[0], p)
+    y = _shoup_lazy(y, twm_ref[0], twm_sh_ref[0], p)
     y = y.T
     y = _gs_stages_2d(y, limb, tw2, tw2_sh, p)
-    o_ref[0] = y
+    o_ref[0] = jnp.where(y >= p, y - p, y)   # single deferred reduction
 
 
 def _inv_kernel(L, log1, log2, x_ref, p_ref, ipsi_ref, ipsi_sh_ref,
@@ -105,8 +114,9 @@ def _inv_kernel(L, log1, log2, x_ref, p_ref, ipsi_ref, ipsi_sh_ref,
     y = x_ref[0]                                   # (N2, N1)
     y = _ct_stages_2d(y, limb, itw2, itw2_sh, p)
     y = y.T                                        # (N1, N2)
-    y = _shoup(y, itwm_ref[0], itwm_sh_ref[0], p)
+    y = _shoup_lazy(y, itwm_ref[0], itwm_sh_ref[0], p)
     y = _ct_stages_2d(y, limb, itw1, itw1_sh, p)
+    # exact final scaling doubles as the deferred reduction
     o_ref[0] = _shoup(y, ipsi_ref[0], ipsi_sh_ref[0], p)
 
 

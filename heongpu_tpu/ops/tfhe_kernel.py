@@ -127,8 +127,10 @@ def _limb_consts(scal_ref, idx):
 
 def _stages_fwd(y, tws_ref, tws_sh_ref, p_l, Bt, rest):
     """GS/DIF stages along sublanes of (32, L*rest); twiddles vary per limb.
-    tws_ref: (S, L, 16) padded."""
+    tws_ref: (S, L, 16) padded.  Harvey-lazy: values in [0, 2p) across
+    stages; callers reduce at the NTT boundary (see ops/ntt.py)."""
     S = 5
+    p2 = p_l + p_l
     for s in reversed(range(1, S + 1)):
         m = 1 << s
         half = m // 2
@@ -139,16 +141,16 @@ def _stages_fwd(y, tws_ref, tws_sh_ref, p_l, Bt, rest):
         tw_sh = tws_sh_ref[s - 1, :, :half]
         twb = jnp.transpose(tw)[None, :, :, None]     # (1, half, L, 1)
         twsb = jnp.transpose(tw_sh)[None, :, :, None]
-        add = mm.add_mod(u, v, p_l)
-        sub = mm.sub_mod(u, v, p_l)
-        t = mm.shoup_mul(sub, twb, twsb, p_l)
+        add = mm.cond_sub(u + v, p2)
+        t = mm.shoup_mul_lazy((u + p2) - v, twb, twsb, p_l)
         y = jnp.concatenate([add, t], axis=1).reshape(N1, L * rest)
     return y
 
 
 def _stages_inv(y, tws_ref, tws_sh_ref, p_l, Bt, rest):
-    """CT/DIT stages along sublanes."""
+    """CT/DIT stages along sublanes, Harvey-lazy like _stages_fwd."""
     S = 5
+    p2 = p_l + p_l
     for s in range(1, S + 1):
         m = 1 << s
         half = m // 2
@@ -159,9 +161,10 @@ def _stages_inv(y, tws_ref, tws_sh_ref, p_l, Bt, rest):
         tw_sh = tws_sh_ref[s - 1, :, :half]
         twb = jnp.transpose(tw)[None, :, :, None]
         twsb = jnp.transpose(tw_sh)[None, :, :, None]
-        t = mm.shoup_mul(v, twb, twsb, p_l)
-        y = jnp.concatenate([mm.add_mod(u, t, p_l), mm.sub_mod(u, t, p_l)],
-                            axis=1).reshape(N1, L * rest)
+        t = mm.shoup_mul_lazy(v, twb, twsb, p_l)
+        y = jnp.concatenate(
+            [mm.cond_sub(u + t, p2), mm.cond_sub((u + p2) - t, p2)],
+            axis=1).reshape(N1, L * rest)
     return y
 
 
@@ -180,31 +183,35 @@ def _big_expand(t_ref, rest):
 
 
 def _ntt_fwd_k(y, refs, p_l, rest):
-    y = mm.shoup_mul(y.reshape(N1, L, rest),
-                     _big_expand(refs["psi"], rest).reshape(N1, L, rest),
-                     _big_expand(refs["psi_sh"], rest).reshape(N1, L, rest),
-                     p_l.reshape(1, L, 1)).reshape(N1, L * rest)
+    y = mm.shoup_mul_lazy(y.reshape(N1, L, rest),
+                          _big_expand(refs["psi"], rest).reshape(N1, L, rest),
+                          _big_expand(refs["psi_sh"], rest).reshape(N1, L, rest),
+                          p_l.reshape(1, L, 1)).reshape(N1, L * rest)
     # stage/elementwise ops below view lanes as (L, rest)
     p4 = p_l.reshape(1, 1, L, 1)
     y = _stages_fwd(y, refs["tw1"], refs["tw1_sh"], p4, None, rest)
-    y = mm.shoup_mul(y.reshape(N1, L, rest),
-                     _big_expand(refs["twm"], rest).reshape(N1, L, rest),
-                     _big_expand(refs["twm_sh"], rest).reshape(N1, L, rest),
-                     p_l.reshape(1, L, 1)).reshape(N1, L * rest)
+    y = mm.shoup_mul_lazy(y.reshape(N1, L, rest),
+                          _big_expand(refs["twm"], rest).reshape(N1, L, rest),
+                          _big_expand(refs["twm_sh"], rest).reshape(N1, L, rest),
+                          p_l.reshape(1, L, 1)).reshape(N1, L * rest)
     y = _transpose_blocks(y, rest)
     y = _stages_fwd(y, refs["tw2"], refs["tw2_sh"], p4, None, rest)
-    return y
+    # deferred reduction: keep the kernel's NTT boundary exact (< p) for the
+    # mont_mul / sub_mod consumers in the CMux chain
+    return mm.cond_sub(y.reshape(N1, L, rest),
+                       p_l.reshape(1, L, 1)).reshape(N1, L * rest)
 
 
 def _ntt_inv_k(y, refs, p_l, rest):
     p4 = p_l.reshape(1, 1, L, 1)
     y = _stages_inv(y, refs["itw2"], refs["itw2_sh"], p4, None, rest)
     y = _transpose_blocks(y, rest)
-    y = mm.shoup_mul(y.reshape(N1, L, rest),
-                     _big_expand(refs["itwm"], rest).reshape(N1, L, rest),
-                     _big_expand(refs["itwm_sh"], rest).reshape(N1, L, rest),
-                     p_l.reshape(1, L, 1)).reshape(N1, L * rest)
+    y = mm.shoup_mul_lazy(y.reshape(N1, L, rest),
+                          _big_expand(refs["itwm"], rest).reshape(N1, L, rest),
+                          _big_expand(refs["itwm_sh"], rest).reshape(N1, L, rest),
+                          p_l.reshape(1, L, 1)).reshape(N1, L * rest)
     y = _stages_inv(y, refs["itw1"], refs["itw1_sh"], p4, None, rest)
+    # exact final scaling doubles as the deferred reduction ([0,2p) input ok)
     y = mm.shoup_mul(y.reshape(N1, L, rest),
                      _big_expand(refs["ipsi"], rest).reshape(N1, L, rest),
                      _big_expand(refs["ipsi_sh"], rest).reshape(N1, L, rest),
