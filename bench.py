@@ -64,6 +64,22 @@ def main():
     dt = (time.perf_counter() - t0) / (reps * K)
     ops_s = 1.0 / dt
 
+    if "--roofline" in sys.argv:
+        # XLA's own cost model for the compiled chain: achieved int-op and
+        # HBM-byte rates vs peak say which wall we are on (VPU vs bandwidth)
+        comp = chain.lower(ct1.c, ct2.c, rk.k0, rk.k1).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) / K
+        byt = float(ca.get("bytes accessed", 0.0)) / K
+        print(json.dumps({
+            "metric": "roofline_per_op", "xla_flops": flops,
+            "hbm_bytes": byt,
+            "achieved_gflops": round(flops * ops_s / 1e9, 2),
+            "achieved_gbps": round(byt * ops_s / 1e9, 2),
+            "arith_intensity_flops_per_byte": round(flops / max(byt, 1), 3),
+        }))
+
     print(json.dumps({
         "metric": f"ckks_n{n}_mult_relin_ops_per_s_per_chip",
         "value": round(ops_s, 3),

@@ -558,6 +558,27 @@ def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
 # Gates (reference operator.cuh:53-812)
 # ------------------------------------------------------------------
 
+_BOOT_IMPL = "auto"  # "auto" | "fused" | "raw"
+
+
+def set_bootstrap_impl(impl: str) -> None:
+    """Select the gate-bootstrap backend: "fused" (one Pallas kernel for the
+    whole CMux chain), "raw" (lax.fori_loop of XLA ops), or "auto" (fused on
+    TPU, raw elsewhere — the Pallas interpreter is slow on CPU)."""
+    assert impl in ("auto", "fused", "raw"), impl
+    global _BOOT_IMPL
+    _BOOT_IMPL = impl
+
+
+def _bootstrap(ctx, bk, ct: Ciphertext) -> Ciphertext:
+    impl = _BOOT_IMPL
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() not in ("cpu",) else "raw"
+    if impl == "fused":
+        return bootstrap_fused(ctx, bk, ct)
+    return bootstrap_raw(ctx, bk, ct)
+
+
 def _const_ct(B, val) -> Ciphertext:
     return Ciphertext(jnp.zeros((B, LWE_N), U32),
                       jnp.full((B,), val, U32))
@@ -566,32 +587,32 @@ def _const_ct(B, val) -> Ciphertext:
 def NAND(ctx, bk, c1: Ciphertext, c2: Ciphertext) -> Ciphertext:
     pre = Ciphertext(-(c1.a + c2.a), MU - c1.b - c2.b,
                      variance=c1.variance + c2.variance)
-    return bootstrap_raw(ctx, bk, pre)
+    return _bootstrap(ctx, bk, pre)
 
 
 def AND(ctx, bk, c1, c2) -> Ciphertext:
     pre = Ciphertext(c1.a + c2.a, c1.b + c2.b - MU,
                      variance=c1.variance + c2.variance)
-    return bootstrap_raw(ctx, bk, pre)
+    return _bootstrap(ctx, bk, pre)
 
 
 def OR(ctx, bk, c1, c2) -> Ciphertext:
     pre = Ciphertext(c1.a + c2.a, c1.b + c2.b + MU,
                      variance=c1.variance + c2.variance)
-    return bootstrap_raw(ctx, bk, pre)
+    return _bootstrap(ctx, bk, pre)
 
 
 def NOR(ctx, bk, c1, c2) -> Ciphertext:
     pre = Ciphertext(-(c1.a + c2.a), -(c1.b + c2.b) - MU,
                      variance=c1.variance + c2.variance)
-    return bootstrap_raw(ctx, bk, pre)
+    return _bootstrap(ctx, bk, pre)
 
 
 def XOR(ctx, bk, c1, c2) -> Ciphertext:
     two = jnp.uint32(2)
     pre = Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU,
                      variance=4 * (c1.variance + c2.variance))
-    return bootstrap_raw(ctx, bk, pre)
+    return _bootstrap(ctx, bk, pre)
 
 
 def XNOR(ctx, bk, c1, c2) -> Ciphertext:
@@ -599,7 +620,7 @@ def XNOR(ctx, bk, c1, c2) -> Ciphertext:
     pre = Ciphertext(-(two * (c1.a + c2.a)),
                      -(two * (c1.b + c2.b)) - two * MU,
                      variance=4 * (c1.variance + c2.variance))
-    return bootstrap_raw(ctx, bk, pre)
+    return _bootstrap(ctx, bk, pre)
 
 
 def NOT(ctx, c1: Ciphertext) -> Ciphertext:
@@ -614,7 +635,7 @@ def MUX(ctx, bk, sel, c_true, c_false) -> Ciphertext:
     f = AND(ctx, bk, NOT(ctx, sel), c_false)
     pre = Ciphertext(t.a + f.a, t.b + f.b + MU,
                      variance=t.variance + f.variance)
-    return bootstrap_raw(ctx, bk, pre)
+    return _bootstrap(ctx, bk, pre)
 
 
 def print_parameters(ctx: TfheContext):
