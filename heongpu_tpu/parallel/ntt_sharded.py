@@ -72,15 +72,16 @@ def _expand_specs(t, specs):
 def _fwd_local(x, t):
     """Local block (..., L, N1, N2/D) -> (..., L, N2, N1/D)."""
     pb = t["p"][:, None, None]
-    y = mm.shoup_mul(x, t["psi"], t["psi_sh"], pb)
+    y = mm.shoup_mul_lazy(x, t["psi"], t["psi_sh"], pb)
     y = nttm._gs_stages(y, t["tw1"], t["tw1_sh"], t["p"])
-    y = mm.shoup_mul(y, t["twm"], t["twm_sh"], pb)
+    y = mm.shoup_mul_lazy(y, t["twm"], t["twm_sh"], pb)
     # transpose phase: all-to-all over ICI re-tiles (N1, N2/D) -> (N1/D, N2)
     y = jax.lax.all_to_all(y, "coef", split_axis=y.ndim - 2,
                            concat_axis=y.ndim - 1, tiled=True)
     y = jnp.swapaxes(y, -1, -2)                       # (..., N2, N1/D)
     y = nttm._gs_stages(y, t["tw2"], t["tw2_sh"], t["p"])
-    return y
+    # single deferred reduction from the Harvey-lazy [0, 2p) stage range
+    return mm.cond_sub(y, pb)
 
 
 def _inv_local(x, t):
@@ -90,8 +91,9 @@ def _inv_local(x, t):
     y = jnp.swapaxes(y, -1, -2)                       # (..., N1/D, N2)
     y = jax.lax.all_to_all(y, "coef", split_axis=y.ndim - 1,
                            concat_axis=y.ndim - 2, tiled=True)
-    y = mm.shoup_mul(y, t["itwm"], t["itwm_sh"], pb)  # (..., N1, N2/D)
+    y = mm.shoup_mul_lazy(y, t["itwm"], t["itwm_sh"], pb)  # (..., N1, N2/D)
     y = nttm._ct_stages(y, t["itw1"], t["itw1_sh"], t["p"])
+    # exact final scaling doubles as the deferred reduction
     return mm.shoup_mul(y, t["ipsi"], t["ipsi_sh"], pb)
 
 
