@@ -61,6 +61,22 @@ def run(n, nq, ks_type="II", alpha=4, iters=10):
     dec = jax.jit(lambda a: ckks.decrypt(ctx, sk, ckks.Ciphertext(
         a, 2, 0, ct1.scale)).m)
 
+    K = 20  # chain length for composed rows
+
+    def bench_chain(step, x0, *rest, iters=3):
+        """Per-op device time with K ops composed inside ONE jitted program
+        (lax.fori_loop) — the dispatch-free number production pipelines see
+        (reference per-op tables time raw kernels the same way)."""
+        f = jax.jit(lambda x, *r: jax.lax.fori_loop(
+            0, K, lambda i, c: step(c, *r), x))
+        o = f(x0, *rest)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = f(x0, *rest)
+        jax.block_until_ready(o)
+        return (time.perf_counter() - t0) / (iters * K) * 1e3
+
     rows = {
         "encrypt": bench_fn(encrypt, pt.m, rng.new_key(), iters=iters),
         "add": bench_fn(add, ct1.c, ct2.c, iters=iters),
@@ -69,13 +85,18 @@ def run(n, nq, ks_type="II", alpha=4, iters=10):
         "rescale": bench_fn(resc, ct1.c, iters=iters),
         "rotate": bench_fn(rot, ct1.c, iters=iters),
         "decrypt": bench_fn(dec, ct1.c, iters=iters),
+        "add (composed)": bench_chain(
+            lambda c, b: add(c, b), ct1.c, ct2.c),
+        "mult+relin (composed)": bench_chain(
+            lambda c, b: mult_relin(c, b), ct1.c, ct2.c),
+        "rotate (composed)": bench_chain(lambda c: rot(c), ct1.c),
     }
     print(f"\nCKKS N={n}, {nq} limbs, METHOD_{ks_type} alpha={alpha} "
-          f"(encode host: {t_enc:.2f} ms)")
+          f"(encode device: {t_enc:.2f} ms)")
     for k, v in rows.items():
-        print(f"  {k:12s} {v:9.3f} ms")
-    print("  note: single-op rows include per-call dispatch overhead; the"
-          " composed-pipeline throughput is bench.py's metric")
+        print(f"  {k:22s} {v:9.3f} ms")
+    print("  note: single-op rows include ~2-3 ms per-call dispatch; the"
+          " (composed) rows are lax.fori_loop chains inside one jit")
 
 
 if __name__ == "__main__":
