@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--base-count", type=int, default=1, dest="base_count",
                     help="primes in the boot base Q0 (2 = composite-q0 "
                     "precision mode)")
+    ap.add_argument("--arcsin", type=int, default=0,
+                    help="arcsine correction order (composite-q0 precision)")
     ap.add_argument("--debug", action="store_true",
                     help="decrypt between phases (regular only)")
     args = ap.parse_args()
@@ -74,7 +76,8 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     tag = (f"{args.variant}_n{N}_d{DEPTH}_p{args.pieces}_t{args.taylor}"
            f"_s{args.squarings}_hw{args.hw}_a{args.alpha}"
-           f"_pc{args.p_count}_bc{args.base_count}")
+           f"_pc{args.p_count}_bc{args.base_count}"
+           + (f"_as{args.arcsin}" if args.arcsin else ""))
     cache_file = os.path.join(cache_dir, tag + ".bin")
     if args.variant == "regular":
         entry = ckks_boot.regular_bootstrap
@@ -91,7 +94,8 @@ def main():
                                        exp_squarings=args.squarings,
                                        ctos_pieces=args.pieces,
                                        stoc_pieces=args.pieces,
-                                       base_count=args.base_count)
+                                       base_count=args.base_count,
+                                       arcsin_order=args.arcsin)
             keys = ckks_boot.generate_bootstrap_keys(ctx, rng.new_key(63), sk,
                                                      cfg)
         else:

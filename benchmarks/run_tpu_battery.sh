@@ -1,0 +1,35 @@
+#!/bin/bash
+# Sequential TPU measurement battery — run when the axon tunnel is up.
+# NEVER run two TPU jobs concurrently (they serialize and both time out).
+# Logs land in /tmp/battery_*.log; each step prints its JSON/table tail.
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "=== $name: $*"
+  timeout "$TO" "$@" > "/tmp/battery_$name.log" 2>&1
+  echo "--- exit=$? tail:"
+  tail -6 "/tmp/battery_$name.log"
+}
+
+# 1. flagship north-star + roofline (lazy-NTT A/B vs recorded 452.7 ops/s)
+TO=3600 run flagship python bench.py --roofline
+
+# 2. TFHE gates through the fused Pallas kernel (+ huint adds)
+TO=5400 run tfhe python benchmarks/benchmark_tfhe.py
+
+# 3. N=2^16 regular bootstrap, corrected config (p_count=6 keyswitch headroom)
+#    key bundle cached under .bootcache (712 s load instead of 940 s gen)
+TO=14400 run boot65536 python benchmarks/benchmark_boot.py \
+  --n 65536 --depth 25 --taylor 13 --squarings 4 --hw 32 --p-count 6 --reps 3
+
+# 4. composed per-op tables
+TO=5400 run ckks_ops python benchmarks/benchmark_ckks.py --sizes 16384,65536
+
+# 5. N=2^13 regular bootstrap (precision-mode composite-q0 + arcsine)
+TO=10800 run boot8192_prec python benchmarks/benchmark_boot.py \
+  --n 8192 --depth 39 --base-count 2 --arcsin 1 --taylor 9 --squarings 5 \
+  --hw 32 --p-count 6 --reps 3
+
+echo "=== battery done"
