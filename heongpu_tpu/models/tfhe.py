@@ -74,26 +74,30 @@ class TfheContext:
     p1_inv_p2: jnp.ndarray       # () p1^{-1} mod p2
     p1_inv_p2_sh: jnp.ndarray
     offset: jnp.ndarray          # () gadget decomposition offset
-    omega_bits: jnp.ndarray      # (11, 2, N) mont NTT-domain X^(2^t) tables
+    omega_bits: jnp.ndarray      # (6, 4, 2, N) mont NTT-domain X^(c*4^g)
 
 
-def _omega_bit_tables(ntt: nttm.NttTables, N: int) -> jnp.ndarray:
-    """NTT-domain (Montgomery form) values of the monomials X^(2^t),
-    t = 0..log2(2N)-1: table[t, l, pos] = psi_l^((2*eo[pos]+1)*2^t mod 2N)*R.
-    Multiplying by X^amt becomes a product of <= 11 selected tables — the
-    gather-free form of the blind-rotation's data-dependent rotation."""
+def _omega_digit_tables(ntt: nttm.NttTables, N: int) -> jnp.ndarray:
+    """NTT-domain (Montgomery form) values of the monomials X^(c·4^g) for
+    radix-4 digits c ∈ [0,4) of the rotation amount, g = 0..5 (11 bits of
+    amt < 2N): table[g, c, l, pos] = psi_l^((2·eo[pos]+1)·c·4^g mod 2N)·R.
+    Multiplying by X^amt becomes a product of 6 digit-selected tables (down
+    from 11 bit tables) — the gather-free form of the blind-rotation's
+    data-dependent rotation."""
     psi_host = np.asarray(ntt.psi).astype(np.uint64)      # (2, N) psi^i
     primes = np.asarray(np.asarray(ntt.p), np.uint64)
     eo = nttm.eval_order(N).astype(np.int64)
     bits = (2 * N).bit_length() - 1                        # 11 for N=1024
-    out = np.empty((bits, 2, N), np.uint64)
-    for t in range(bits):
-        e = ((2 * eo + 1) * (1 << t)) % (2 * N)
-        wrap = e >= N
-        idx = np.where(wrap, e - N, e)
-        v = psi_host[:, idx]
-        v = np.where(wrap[None, :], primes[:, None] - v, v)
-        out[t] = v * (np.uint64(1) << 32) % primes[:, None]   # to Montgomery
+    G = (bits + 1) // 2
+    out = np.empty((G, 4, 2, N), np.uint64)
+    for g in range(G):
+        for c in range(4):
+            e = ((2 * eo + 1) * (c << (2 * g))) % (2 * N)
+            wrap = e >= N
+            idx = np.where(wrap, e - N, e)
+            v = psi_host[:, idx]
+            v = np.where(wrap[None, :], primes[:, None] - v, v)
+            out[g, c] = v * (np.uint64(1) << 32) % primes[:, None]  # to mont
     return jnp.asarray(out.astype(np.uint32))
 
 
@@ -114,7 +118,7 @@ def make_context() -> TfheContext:
         p1_inv_p2=jnp.uint32(inv),
         p1_inv_p2_sh=jnp.uint32(mm.shoup(inv, p2)),
         offset=jnp.uint32(offset),
-        omega_bits=_omega_bit_tables(ntt, TRLWE_N),
+        omega_bits=_omega_digit_tables(ntt, TRLWE_N),
     )
 
 
@@ -135,6 +139,68 @@ class BootKey:
     bk: jnp.ndarray
     ksk_a: jnp.ndarray  # (N, ks_length, base, n) uint32
     ksk_b: jnp.ndarray  # (N, ks_length, base) uint32
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bk2", "ksk_a", "ksk_b"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class BootKey2:
+    """2-bit key-unrolled bootstrapping key: for each LWE bit pair
+    (s0, s1) = (s_2i, s_2i+1), THREE TGSWs encrypting s0, s1 and s0·s1
+    (NTT+Montgomery).  The CMux chain then runs n/2 steps of
+      acc += <D(acc), B0>·(X^a0−1) + <D(acc), B1>·(X^a1−1)
+             + <D(acc), B01>·(X^a0−1)(X^a1−1)
+    — the expansion of X^(a0·s0 + a1·s1) over binary s (key unrolling,
+    halving the sequential depth the reference runs at full length,
+    src/lib/kernel/bootstrapping.cu).  bk2: (n/2, 3, rows, comp, 2, N)."""
+    bk2: jnp.ndarray
+    ksk_a: jnp.ndarray
+    ksk_b: jnp.ndarray
+
+
+def keygen_boot_unrolled(ctx: TfheContext, key, sk: SecretKey) -> BootKey2:
+    """BootKey2 generation: same TRLWE(0)+gadget structure as keygen_boot
+    with message bits (s0, s1, s0·s1) per pair; 1.5x the key material for
+    half the sequential chain."""
+    n, N, l = ctx.n, ctx.N, ctx.l
+    k_bk_a, k_bk_e, k_ks_a, k_ks_e = rng.split(key, 4)
+
+    s_rns = rng.signed_to_rns(sk.rlwe.astype(jnp.int32), ctx.primes)
+    p = ctx.ntt.p[:, None]
+    pinv = ctx.ntt.pinv[:, None]
+    r2 = ctx.ntt.r2[:, None]
+    s_ntt_mont = mm.to_mont(nttm.ntt_fwd(s_rns, ctx.ntt), p, pinv, r2)
+
+    rows = (ctx.k + 1) * l                       # 4
+    n2 = n // 2
+    a = rng.bits32(k_bk_a, (n2, 3, rows, N))
+    e = _torus_noise(k_bk_e, (n2, 3, rows, N), SIGMA_BK)
+    b = _polymul_rlwe_key_torus(ctx, a, s_ntt_mont) + e
+    gad = np.zeros((rows, 2, N), np.uint32)
+    for c in range(ctx.k + 1):
+        for pdig in range(l):
+            gad[c * l + pdig, c, 0] = 1 << (32 - (pdig + 1) * ctx.bg_bit)
+    gadj = jnp.asarray(gad)[None, None]          # (1, 1, rows, comp, N)
+    s0 = sk.lwe[0::2]
+    s1 = sk.lwe[1::2]
+    msg = jnp.stack([s0, s1, s0 * s1], axis=1)   # (n/2, 3) bits
+    trlwe = jnp.stack([a, b], axis=3)            # (n/2, 3, rows, comp, N)
+    trlwe = trlwe + msg[:, :, None, None, None] * gadj
+    bk2 = mm.to_mont(nttm.ntt_fwd(_torus_to_rns(ctx, trlwe), ctx.ntt),
+                     p, pinv, r2)
+
+    base = 1 << ctx.ks_base_bit
+    ksk_a = rng.bits32(k_ks_a, (N, ctx.ks_length, base, n))
+    e_ks = _torus_noise(k_ks_e, (N, ctx.ks_length, base), SIGMA_KS)
+    shift = jnp.asarray(
+        np.array([1 << (32 - (t + 1) * ctx.ks_base_bit)
+                  for t in range(ctx.ks_length)], np.uint32))
+    v = jnp.arange(base, dtype=U32)
+    msg_ks = (sk.rlwe[:, None, None] * shift[None, :, None] * v[None, None, :])
+    ksk_b = jnp.sum(ksk_a * sk.lwe[None, None, None, :], axis=-1) + e_ks + msg_ks
+    ksk_a = ksk_a.at[:, :, 0, :].set(0)
+    ksk_b = ksk_b.at[:, :, 0].set(0)
+    return BootKey2(bk2, ksk_a, ksk_b)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -336,19 +402,25 @@ def _external_product(ctx: TfheContext, bk_i, d):
     return _rns_to_torus(ctx, c)                          # (B, comp, N)
 
 
+def _sel4(tab_g, dig):
+    """Select tab_g[c] per batch element: tab_g (4, 2, N), dig (B,) in [0,4)."""
+    d = dig[:, None, None]
+    w = jnp.where(d == 1, tab_g[1][None], tab_g[0][None])
+    w = jnp.where(d == 2, tab_g[2][None], w)
+    return jnp.where(d == 3, tab_g[3][None], w)
+
+
 def _omega_mont(ctx: TfheContext, amt):
     """NTT-domain Montgomery form of X^amt per batch element, built as a
-    product of the bit tables (no gathers): amt (B,) int32 in [0, 2N)."""
+    product of radix-4 digit-selected tables (no gathers, 6 products):
+    amt (B,) int32 in [0, 2N)."""
     p = ctx.ntt.p[:, None]
     pinv = ctx.ntt.pinv[:, None]
-    r1 = ctx.ntt.r1[:, None]
-    B = amt.shape[0]
-    w = jnp.broadcast_to(r1[None], (B, 2, ctx.N))         # mont(1)
-    bits = ctx.omega_bits.shape[0]
-    for t in range(bits):
-        sel = ((amt >> t) & 1).astype(jnp.bool_)[:, None, None]
-        wt = mm.mont_mul(w, ctx.omega_bits[t][None], p, pinv)
-        w = jnp.where(sel, wt, w)
+    G = ctx.omega_bits.shape[0]
+    w = _sel4(ctx.omega_bits[0], amt & 3)
+    for g in range(1, G):
+        wg = _sel4(ctx.omega_bits[g], (amt >> (2 * g)) & 3)
+        w = mm.mont_mul(w, wg, p, pinv)
     return w
 
 

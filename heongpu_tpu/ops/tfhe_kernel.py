@@ -104,8 +104,7 @@ def prep_tables(ctx):
         tw2=pack_stages(tb.tw2), tw2_sh=pack_stages(tb.tw2_sh),
         itw1=pack_stages(tb.itw1), itw1_sh=pack_stages(tb.itw1_sh),
         itw2=pack_stages(tb.itw2), itw2_sh=pack_stages(tb.itw2_sh),
-        omega=to_kernel_layout(ctx.omega_bits),        # (32, T*L*32)
-        r1_big=pack_big(jnp.broadcast_to(tb.r1[:, None], (L, N))),
+        omega=to_kernel_layout(ctx.omega_bits),        # (32, G*4*L*32)
     )
 
 
@@ -284,7 +283,7 @@ def _signed_to_rns_k(d, scal, rest):
 
 def _chain(n, Bt, acc0, a_ref, scal_ref, psi, psi_sh, ipsi, ipsi_sh,
            twm, twm_sh, itwm, itwm_sh, tw1, tw1_sh, tw2, tw2_sh,
-           itw1, itw1_sh, itw2, itw2_sh, omega, r1_big, bk_hbm,
+           itw1, itw1_sh, itw2, itw2_sh, omega, bk_hbm,
            bk_buf, sem):
     refs = dict(psi=psi, psi_sh=psi_sh, ipsi=ipsi, ipsi_sh=ipsi_sh,
                 twm=twm, twm_sh=twm_sh, itwm=itwm, itwm_sh=itwm_sh,
@@ -299,14 +298,21 @@ def _chain(n, Bt, acc0, a_ref, scal_ref, psi, psi_sh, ipsi, ipsi_sh,
     pacc = p_l.reshape(1, L, 1, 1, 1)
     pinvacc = pinv_l.reshape(1, L, 1, 1, 1)
 
-    T = 11  # omega bit tables
+    G = 6  # omega radix-4 digit tables (11 bits of amt)
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(bk_hbm.at[i], bk_buf.at[slot], sem.at[slot])
 
     get_dma(0, 0).start()
 
-    omega_t = omega[:].reshape(N1, T, L, N2)           # mont tables
+    omega_t = omega[:].reshape(N1, G, 4, L, N2)        # mont tables
+
+    def sel4(g, dig):
+        """Digit-select table entry g: dig (1,1,Bt,1) -> (N1, L, Bt, N2)."""
+        t = [omega_t[:, g, c].reshape(N1, L, 1, N2) for c in range(4)]
+        w = jnp.where(dig == 1, t[1], t[0])
+        w = jnp.where(dig == 2, t[2], w)
+        return jnp.where(dig == 3, t[3], w)
 
     def body(i, acc):
         # prefetch next bk slice
@@ -317,16 +323,13 @@ def _chain(n, Bt, acc0, a_ref, scal_ref, psi, psi_sh, ipsi, ipsi_sh,
 
         a_row = a_ref[pl.ds(i, 1), :]                  # (1, Bt) int32 in [0,2N)
 
-        # omega = mont(X^a) per (limb, batch): product of selected bit tables
-        w = jnp.broadcast_to(
-            r1_big[:].reshape(N1, L, 1, N2), (N1, L, Bt, N2))
+        # omega = mont(X^a) per (limb, batch): product of 6 digit tables
         p_w = p_l.reshape(1, L, 1, 1)
         pinv_w = pinv_l.reshape(1, L, 1, 1)
-        for t in range(T):
-            sel = ((a_row >> t) & 1).astype(jnp.bool_).reshape(1, 1, Bt, 1)
-            tab = omega_t[:, t].reshape(N1, L, 1, N2)
-            wt = mm.mont_mul(w, tab, p_w, pinv_w)
-            w = jnp.where(sel, wt, w)
+        w = sel4(0, (a_row & 3).reshape(1, 1, Bt, 1))
+        for g in range(1, G):
+            dig = ((a_row >> (2 * g)) & 3).reshape(1, 1, Bt, 1)
+            w = mm.mont_mul(w, sel4(g, dig), p_w, pinv_w)
 
         # CMux: diff = X^a * acc - acc   (NTT domain)
         acc_v = acc.reshape(N1, L, Bt, P, N2)
@@ -393,7 +396,7 @@ def blind_rotate(acc_k, a_t, bk_stream, tables, n: int, Bt: int = 8,
 
     grid_names = ["psi", "psi_sh", "ipsi", "ipsi_sh", "twm", "twm_sh",
                   "itwm", "itwm_sh", "tw1", "tw1_sh", "tw2", "tw2_sh",
-                  "itw1", "itw1_sh", "itw2", "itw2_sh", "omega", "r1_big"]
+                  "itw1", "itw1_sh", "itw2", "itw2_sh", "omega"]
 
     # acc columns per program: the lane order is (limb, batch, poly, i2), so a
     # batch tile is NOT contiguous in lanes.  Reorder to (batch, limb, poly)
