@@ -430,14 +430,16 @@ def _modswitch(x, N):
     return ((x + (jnp.uint32(1) << (sh - 1))) >> sh).astype(jnp.int32)
 
 
-def bootstrap_output_variance(ctx: TfheContext) -> float:
+def bootstrap_output_variance(ctx: TfheContext, unroll_factor: int = 1) -> float:
     """Fresh-output noise variance of one gate bootstrap (CGGI estimate:
-    blind-rotation external products + decomposition error + keyswitch)."""
+    blind-rotation external products + decomposition error + keyswitch).
+    unroll_factor=4 for the 2-bit key-unrolled chain: three u-scaled
+    external products per pair-step, ||X^a − 1||² = 2 per convolution."""
     br = (ctx.n * (ctx.k + 1) * ctx.l * ctx.N * (BG / 2) ** 2 * SIGMA_BK ** 2
           + ctx.n * (1 + ctx.k * ctx.N) * (2.0 ** (-2 * ctx.bg_bit * ctx.l)) / 12)
     ks = ctx.N * ctx.ks_length * SIGMA_KS ** 2 \
         + ctx.N * (2.0 ** (-2 * ctx.ks_base_bit * ctx.ks_length)) / 12
-    return br + ks
+    return br * unroll_factor + ks
 
 
 def noise_margin_bits(ct: Ciphertext) -> float:
@@ -545,6 +547,49 @@ def _bootstrap_fused_core(ctx: TfheContext, bk: BootKey, ct: Ciphertext,
     return out
 
 
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def _bootstrap_fused2_core(ctx: TfheContext, bk2: BootKey2, ct: Ciphertext,
+                           tabs, tile: int = 8,
+                           interpret: bool = False) -> Ciphertext:
+    from ..ops import tfhe_kernel as tk
+
+    B0 = ct.a.shape[0]
+    B = ((B0 + tile - 1) // tile) * tile
+    if B != B0:
+        pad = B - B0
+        ct = Ciphertext(jnp.concatenate([ct.a, jnp.zeros((pad, ctx.n), U32)]),
+                        jnp.concatenate([ct.b, jnp.zeros((pad,), U32)]),
+                        variance=ct.variance)
+    acc, a_t = _boot_prologue(ctx, ct)
+    acc_k = tk.to_kernel_layout(jnp.transpose(acc, (2, 0, 1, 3)))
+    bk_stream = tk.prep_bk2(bk2.bk2)
+    out_k = tk.blind_rotate2(acc_k, jnp.transpose(a_t), bk_stream, tabs,
+                             n=ctx.n, Bt=tile, interpret=interpret)
+    acc_ntt = jnp.transpose(
+        tk.from_kernel_layout(out_k, (2, B, 2)), (1, 2, 0, 3))
+    acc_t = _rns_to_torus(ctx, nttm.ntt_inv(acc_ntt, ctx.ntt))
+    out = _boot_epilogue(ctx, bk2, acc_t, B)
+    out = Ciphertext(out.a, out.b,
+                     variance=bootstrap_output_variance(ctx, unroll_factor=4))
+    if B != B0:
+        out = Ciphertext(out.a[:B0], out.b[:B0], variance=out.variance)
+    return out
+
+
+def bootstrap_fused2(ctx: TfheContext, bk2: BootKey2, ct: Ciphertext,
+                     tile: int = 8, interpret: bool = False) -> Ciphertext:
+    """Key-unrolled gate bootstrap: n/2-step CMux chain over TGSW triples in
+    one fused Pallas kernel (see BootKey2 / ops/tfhe_kernel._chain2)."""
+    from ..ops import tfhe_kernel as tk
+
+    tabs = _FUSED_PREP.get(id(ctx))
+    if tabs is None:
+        tabs = tk.prep_tables(ctx)
+        _FUSED_PREP[id(ctx)] = tabs
+    return _bootstrap_fused2_core(ctx, bk2, ct, tabs, tile=tile,
+                                  interpret=interpret)
+
+
 @jax.jit
 def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
     """Blind rotation + sample extract + keyswitch for a batch of LWEs whose
@@ -643,6 +688,11 @@ def set_bootstrap_impl(impl: str) -> None:
 
 
 def _bootstrap(ctx, bk, ct: Ciphertext) -> Ciphertext:
+    if isinstance(bk, BootKey2):
+        # key-unrolled chain exists only as the fused kernel; on CPU run it
+        # through the Pallas interpreter (tests), on TPU compiled
+        return bootstrap_fused2(ctx, bk, ct,
+                                interpret=jax.default_backend() == "cpu")
     impl = _BOOT_IMPL
     if impl == "auto":
         impl = "fused" if jax.default_backend() not in ("cpu",) else "raw"

@@ -116,6 +116,14 @@ def prep_bk(bk_arr):
     return y.reshape(n, P, N1, L * R * N2)
 
 
+def prep_bk2(bk2_arr):
+    """BootKey2.bk2 (n/2, 3, R, P, L, N) -> (n/2, 3, P, 32, L*R*32) stream."""
+    n2 = bk2_arr.shape[0]
+    y = bk2_arr.reshape(n2, 3, R, P, L, N1, N2)
+    y = jnp.transpose(y, (0, 1, 3, 5, 4, 2, 6))       # (n2, 3, P, 32, L, R, 32)
+    return y.reshape(n2, 3, P, N1, L * R * N2)
+
+
 # ---------------------------------------------------------------------------
 # kernel helpers (pure jnp on uint32; run inside pallas)
 # ---------------------------------------------------------------------------
@@ -374,6 +382,167 @@ def _sum_mod(prod, p):
     for r in range(1, R):
         acc = mm.add_mod(acc, prod[:, :, :, r], p)
     return acc
+
+
+RENORM2 = 4  # pair-steps between renormalisations (= 8 single-step units)
+
+
+def _chain2(n2, Bt, acc0, a_ref, scal_ref, psi, psi_sh, ipsi, ipsi_sh,
+            twm, twm_sh, itwm, itwm_sh, tw1, tw1_sh, tw2, tw2_sh,
+            itw1, itw1_sh, itw2, itw2_sh, omega, bk_hbm, bk_buf, sem):
+    """2-bit key-unrolled CMux chain: n/2 sequential steps, each consuming a
+    TGSW triple (B0, B1, B01) and applying
+      acc += <D(acc), B0>·u0 + <D(acc), B1>·u1 + <D(acc), B01>·u0·u1,
+    u_j = X^a_j − 1 (see models/tfhe.BootKey2).  One decompose + NTT round
+    per TWO secret bits — the sequential-latency lever the reference lacks."""
+    refs = dict(psi=psi, psi_sh=psi_sh, ipsi=ipsi, ipsi_sh=ipsi_sh,
+                twm=twm, twm_sh=twm_sh, itwm=itwm, itwm_sh=itwm_sh,
+                tw1=tw1[:], tw1_sh=tw1_sh[:], tw2=tw2[:], tw2_sh=tw2_sh[:],
+                itw1=itw1[:], itw1_sh=itw1_sh[:], itw2=itw2[:],
+                itw2_sh=itw2_sh[:])
+    scal = scal_ref
+    rest_acc = Bt * P * N2
+    rest_dig = Bt * R * N2
+    p_l = jnp.stack([scal[0], scal[1]])
+    pinv_l = jnp.stack([scal[2], scal[3]])
+    r1_l = jnp.stack([scal[6], scal[7]])
+    pacc = p_l.reshape(1, L, 1, 1, 1)
+
+    G = 6
+    p_w = p_l.reshape(1, L, 1, 1)
+    pinv_w = pinv_l.reshape(1, L, 1, 1)
+    r1_w = r1_l.reshape(1, L, 1, 1)
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(bk_hbm.at[i], bk_buf.at[slot], sem.at[slot])
+
+    get_dma(0, 0).start()
+
+    omega_t = omega[:].reshape(N1, G, 4, L, N2)
+
+    def sel4(g, dig):
+        t = [omega_t[:, g, c].reshape(N1, L, 1, N2) for c in range(4)]
+        w = jnp.where(dig == 1, t[1], t[0])
+        w = jnp.where(dig == 2, t[2], w)
+        return jnp.where(dig == 3, t[3], w)
+
+    def omega_of(a_row):
+        w = sel4(0, (a_row & 3).reshape(1, 1, Bt, 1))
+        for g in range(1, G):
+            dig = ((a_row >> (2 * g)) & 3).reshape(1, 1, Bt, 1)
+            w = mm.mont_mul(w, sel4(g, dig), p_w, pinv_w)
+        return w
+
+    def body(i, acc):
+        @pl.when(i + 1 < n2)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+        get_dma(i % 2, i).wait()
+
+        a0 = a_ref[pl.ds(2 * i, 1), :]                 # (1, Bt)
+        a1 = a_ref[pl.ds(2 * i + 1, 1), :]
+        u0 = mm.sub_mod(omega_of(a0), r1_w, p_w)       # mont(X^a0 − 1)
+        u1 = mm.sub_mod(omega_of(a1), r1_w, p_w)
+        u01 = mm.mont_mul(u0, u1, p_w, pinv_w)
+
+        # decompose acc -> digit rows -> NTT (one round per TWO bits)
+        dt = _to_torus(_ntt_inv_k(acc, refs, p_l, rest_acc), scal, rest_acc)
+        digs = _decompose_k(dt, scal, Bt)
+        dr = _signed_to_rns_k(digs, scal, rest_dig)
+        D = _ntt_fwd_k(dr, refs, p_l, rest_dig)
+        Dv = D.reshape(N1, L, Bt, R, N2)
+
+        bk_i = bk_buf[i % 2]                           # (3, P, 32, L*R*32)
+        p5 = p_l.reshape(1, L, 1, 1, 1)
+        pinv5 = pinv_l.reshape(1, L, 1, 1, 1)
+        p4 = p_l.reshape(1, L, 1, 1)
+        ext = []
+        for c in range(P):
+            term = None
+            for j, u in ((0, u0), (1, u1), (2, u01)):
+                bkc = bk_i[j, c].reshape(N1, L, 1, R, N2)
+                e = _sum_mod(mm.mont_mul(Dv, bkc, p5, pinv5), p4)
+                su = mm.mont_mul(e, u, p_w, pinv_w)
+                term = su if term is None else mm.add_mod(term, su, p4)
+            ext.append(term)
+        extv = jnp.stack(ext, axis=3)                  # (32, L, Bt, P, 32)
+        acc_v = mm.add_mod(acc.reshape(N1, L, Bt, P, N2), extv, pacc)
+        acc = acc_v.reshape(N1, L * rest_acc)
+
+        def renorm(a):
+            t = _to_torus(_ntt_inv_k(a, refs, p_l, rest_acc), scal, rest_acc)
+            return _ntt_fwd_k(_to_rns(t, scal, rest_acc), refs, p_l, rest_acc)
+
+        acc = jax.lax.cond((i + 1) % RENORM2 == 0, renorm, lambda a: a, acc)
+        return acc
+
+    return jax.lax.fori_loop(0, n2, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "Bt", "interpret"))
+def blind_rotate2(acc_k, a_t, bk2_stream, tables, n: int, Bt: int = 8,
+                  interpret: bool = False):
+    """Key-unrolled blind rotation: n/2 chain steps over TGSW triples.
+    Same layouts as blind_rotate; bk2_stream from prep_bk2."""
+    lanes = acc_k.shape[1]
+    B = lanes // (L * P * N2)
+    assert B % Bt == 0, (B, Bt)
+    progs = B // Bt
+    t = tables
+
+    grid_names = ["psi", "psi_sh", "ipsi", "ipsi_sh", "twm", "twm_sh",
+                  "itwm", "itwm_sh", "tw1", "tw1_sh", "tw2", "tw2_sh",
+                  "itw1", "itw1_sh", "itw2", "itw2_sh", "omega"]
+
+    accv = acc_k.reshape(N1, L, B, P * N2)
+    accb = jnp.transpose(accv, (0, 2, 1, 3)).reshape(N1, B * L * P * N2)
+
+    def acc_map(b):
+        return (0, b)
+
+    in_specs = [
+        pl.BlockSpec((n, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N1, Bt * L * P * N2), acc_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [a_t, accb, t["scal"]]
+    for name in grid_names:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(t[name])
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(bk2_stream)
+
+    def wrapped(a_ref, accb_ref, scal_ref, *rest):
+        bk_hbm = rest[-4]
+        out_ref = rest[-3]
+        bk_buf = rest[-2]
+        sem = rest[-1]
+        table_refs = rest[:-4]
+        accb_ = accb_ref[:]
+        accv_ = accb_.reshape(N1, Bt, L, P * N2)
+        acc0 = jnp.transpose(accv_, (0, 2, 1, 3)).reshape(N1, L * Bt * P * N2)
+        final = _chain2(n // 2, Bt, acc0, a_ref, scal_ref, *table_refs,
+                        bk_hbm, bk_buf, sem)
+        fv = final.reshape(N1, L, Bt, P * N2)
+        out_ref[:] = jnp.transpose(fv, (0, 2, 1, 3)).reshape(
+            N1, Bt * L * P * N2)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(progs,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((N1, Bt * L * P * N2), acc_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N1, B * L * P * N2), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, P, N1, L * R * N2), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    outv = out.reshape(N1, B, L, P * N2)
+    return jnp.transpose(outv, (0, 2, 1, 3)).reshape(N1, lanes)
 
 
 @functools.partial(jax.jit,

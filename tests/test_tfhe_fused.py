@@ -42,3 +42,24 @@ def test_bootstrap_fused_pads_partial_tile():
     assert out.a.shape[0] == 3
     np.testing.assert_array_equal(np.asarray(tfhe.decrypt(ctx, sk, out)),
                                   bits.astype(bool))
+
+
+@pytest.mark.slow
+def test_bootstrap_unrolled_decrypts():
+    """2-bit key unrolling is a different algorithm (TGSW triples, n/2 steps)
+    so no bit-identity with raw — the oracle is exact decryption of the
+    bootstrap payload plus a NAND truth-table through the dispatcher."""
+    ctx = tfhe.make_context()
+    sk = tfhe.keygen_secret(jax.random.PRNGKey(10))
+    bk2 = tfhe.keygen_boot_unrolled(ctx, jax.random.PRNGKey(11), sk)
+    bits = np.array([0, 1, 0, 1, 1, 0, 1, 1], dtype=np.int32)
+    ct = tfhe.encrypt(ctx, sk, bits, jax.random.PRNGKey(12))
+    out = tfhe.bootstrap_fused2(ctx, bk2, ct, tile=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(tfhe.decrypt(ctx, sk, out)),
+                                  bits.astype(bool))
+    # gates accept BootKey2 through the dispatcher
+    c1 = tfhe.encrypt(ctx, sk, np.array([0, 0, 1, 1]), jax.random.PRNGKey(13))
+    c2 = tfhe.encrypt(ctx, sk, np.array([0, 1, 0, 1]), jax.random.PRNGKey(14))
+    g = tfhe.NAND(ctx, bk2, c1, c2)
+    np.testing.assert_array_equal(np.asarray(tfhe.decrypt(ctx, sk, g)),
+                                  np.array([True, True, True, False]))
