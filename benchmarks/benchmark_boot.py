@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--depth", type=int, default=20)
     ap.add_argument("--variant", default="regular",
-                    choices=["regular", "slim"])
+                    choices=["regular", "slim", "bit", "gate"])
     ap.add_argument("--pieces", type=int, default=3)
     ap.add_argument("--taylor", type=int, default=7)
     ap.add_argument("--squarings", type=int, default=4)
@@ -82,7 +82,7 @@ def main():
     if args.variant == "regular":
         entry = ckks_boot.regular_bootstrap
         drop_to = ctx.k - args.base_count
-    else:
+    elif args.variant == "slim":
         entry = ckks_boot_ext.slim_bootstrap
     if os.path.exists(cache_file):
         keys = serializer.load_from_file(cache_file)
@@ -103,20 +103,39 @@ def main():
                                              K=12, ctos_pieces=args.pieces,
                                              stoc_pieces=args.pieces)
             keys = ckks_boot_ext.generate_bootstrap_keys_v2(
-                ctx, rng.new_key(63), sk, cfg, variant="slim",
-                msg_scale=2.0 ** 22)
+                ctx, rng.new_key(63), sk, cfg, variant=args.variant,
+                msg_scale=2.0 ** 22 if args.variant == "slim" else None)
         print(f"boot keys: {time.time()-t0:.1f} s", flush=True)
         t0 = time.time()
         serializer.save_to_file(keys, cache_file, level=1)
         print(f"boot keys cached: {time.time()-t0:.1f} s", flush=True)
-    if args.variant == "slim":
+    if args.variant != "regular":
         drop_to = keys.stoc_pieces[0].level
 
-    z = np.random.default_rng(0).uniform(-0.5, 0.5, N // 2)
-    scale = keys.msg_scale if args.variant == "slim" else None
-    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=scale),
-                      rng.new_key(64))
-    ct = ckks.mod_drop(ctx, ct, drop_to)
+    rnd = np.random.default_rng(0)
+    if args.variant in ("bit", "gate"):
+        # bit/gate payloads: slots hold bits at the ePrint 2024/767 scales
+        z = rnd.integers(0, 2, N // 2).astype(np.float64)
+        b2 = rnd.integers(0, 2, N // 2).astype(np.float64)
+        ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=keys.msg_scale),
+                          rng.new_key(64))
+        ct = ckks.mod_drop(ctx, ct, drop_to)
+        if args.variant == "bit":
+            entry = ckks_boot_ext.bit_bootstrap
+        else:
+            ct2 = ckks.encrypt(ctx, pk,
+                               ckks.encode(ctx, b2, scale=keys.msg_scale),
+                               rng.new_key(65))
+            ct2 = ckks.mod_drop(ctx, ct2, drop_to)
+            entry = lambda c, c1, k: ckks_boot_ext.gate_bootstrap(
+                c, c1, ct2, "AND", k)
+            z = np.logical_and(z.astype(bool), b2.astype(bool)).astype(float)
+    else:
+        z = rnd.uniform(-0.5, 0.5, N // 2)
+        scale = keys.msg_scale if args.variant == "slim" else None
+        ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=scale),
+                          rng.new_key(64))
+        ct = ckks.mod_drop(ctx, ct, drop_to)
 
     if args.debug and args.variant == "regular":
         import math

@@ -131,7 +131,7 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
     B = count * width
     # round 1: g = a AND b, p = a XOR b — one fused bootstrap
     pre = _cat(_pre_and(xbits, ybits), _pre_xor(xbits, ybits))
-    gp = tfhe.bootstrap_raw(ctx, bk, pre)
+    gp = tfhe._bootstrap(ctx, bk, pre)
     g, p = _slc(gp, 0, B), _slc(gp, B, 2 * B)
     p_orig = p  # the sum bits need a XOR b after the prefix consumes p
 
@@ -142,11 +142,11 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
         p0 = tfhe.Ciphertext(p.a.reshape(count, width, -1)[:, 0],
                              p.b.reshape(count, width)[:, 0],
                              variance=p.variance)
-        t = tfhe.bootstrap_raw(ctx, bk, _pre_and(p0, cin))
+        t = tfhe._bootstrap(ctx, bk, _pre_and(p0, cin))
         g0 = tfhe.Ciphertext(g.a.reshape(count, width, -1)[:, 0],
                              g.b.reshape(count, width)[:, 0],
                              variance=g.variance)
-        g0n = tfhe.bootstrap_raw(ctx, bk, _pre_or(g0, t))
+        g0n = tfhe._bootstrap(ctx, bk, _pre_or(g0, t))
         ga = g.a.reshape(count, width, -1).at[:, 0].set(g0n.a)
         gb = g.b.reshape(count, width).at[:, 0].set(g0n.b)
         g = tfhe.Ciphertext(ga.reshape(g.a.shape), gb.reshape(g.b.shape),
@@ -158,9 +158,9 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
         gs, ps = _shift_gp(g, p, count, width, offset)
         # t1 = p AND g_shifted ; t2 = p AND p_shifted  (one bootstrap)
         pre = _cat(_pre_and(p, gs), _pre_and(p, ps))
-        t = tfhe.bootstrap_raw(ctx, bk, pre)
+        t = tfhe._bootstrap(ctx, bk, pre)
         t1, t2 = _slc(t, 0, B), _slc(t, B, 2 * B)
-        g = tfhe.bootstrap_raw(ctx, bk, _pre_or(g, t1))
+        g = tfhe._bootstrap(ctx, bk, _pre_or(g, t1))
         p = t2
         offset *= 2
 
@@ -182,7 +182,7 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
                                   variance=max(carries.variance,
                                                carry_in.variance))
 
-    s = tfhe.bootstrap_raw(ctx, bk, _pre_xor(p_orig, carries))
+    s = tfhe._bootstrap(ctx, bk, _pre_xor(p_orig, carries))
     carry_out = tfhe.Ciphertext(ga[:, width - 1], gb[:, width - 1],
                                 variance=g.variance)
     return s, carry_out
@@ -220,7 +220,7 @@ def eq(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
     bootstrap per tree level (depth ceil(log2 W))."""
     assert x.width == y.width and x.count == y.count
     W, C = x.width, x.count
-    d = tfhe.bootstrap_raw(ctx, bk, _pre_xor(x.bits, y.bits))  # diff bits
+    d = tfhe._bootstrap(ctx, bk, _pre_xor(x.bits, y.bits))  # diff bits
     # OR-reduce pairs until one bit per integer remains, then negate
     width = W
     cur = d
@@ -233,7 +233,7 @@ def eq(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
         hi = tfhe.Ciphertext(a_[:, half:2 * half].reshape(-1, tfhe.LWE_N),
                              b_[:, half:2 * half].reshape(-1),
                              variance=cur.variance)
-        merged = tfhe.bootstrap_raw(ctx, bk, _pre_or(lo, hi))
+        merged = tfhe._bootstrap(ctx, bk, _pre_or(lo, hi))
         if width % 2:
             tail = tfhe.Ciphertext(a_[:, -1:].reshape(-1, tfhe.LWE_N),
                                    b_[:, -1:].reshape(-1),
@@ -338,7 +338,7 @@ def mul(ctx, bk, x: HUint, y: HUint) -> HUint:
                          variance=x.bits.variance)
     ys = tfhe.Ciphertext(ya_r.reshape(-1, tfhe.LWE_N), yb_r.reshape(-1),
                          variance=y.bits.variance)
-    pp = tfhe.bootstrap_raw(ctx, bk, _pre_and(xs, ys))     # (C*W*W,)
+    pp = tfhe._bootstrap(ctx, bk, _pre_and(xs, ys))     # (C*W*W,)
     ppa = pp.a.reshape(C, W, W, -1)
     ppb = pp.b.reshape(C, W, W)
 
@@ -371,3 +371,71 @@ def mul(ctx, bk, x: HUint, y: HUint) -> HUint:
         if tail is not None:
             rows.append(tail)
     return rows[0]
+
+
+# =========================================================================
+# Signed integers (hint8..hint256): two's complement over the same bit
+# layout — add/sub/mul-mod-2^W and equality are representation-identical,
+# so HInt reuses them; only encode/decode, ordering, shifts and negation
+# differ.
+# =========================================================================
+
+def encrypt_hint(ctx, sk, values, width: int, key) -> HUint:
+    """Signed values in [-2^(W-1), 2^(W-1)); two's complement bits."""
+    vals = np.atleast_1d(np.asarray(values, object))
+    mask = (1 << width) - 1
+    return encrypt_huint(ctx, sk, [int(v) & mask for v in vals], width, key)
+
+
+def decrypt_hint(ctx, sk, x: HUint) -> np.ndarray:
+    v = decrypt_huint(ctx, sk, x)
+    half = 1 << (x.width - 1)
+    full = 1 << x.width
+    return np.array([int(u) - full if int(u) >= half else int(u)
+                     for u in v], object)
+
+
+def _msb(x: HUint) -> tfhe.Ciphertext:
+    a = x.bits.a.reshape(x.count, x.width, -1)
+    b = x.bits.b.reshape(x.count, x.width)
+    return tfhe.Ciphertext(a[:, -1], b[:, -1], variance=x.bits.variance)
+
+
+def neg(ctx, bk, x: HUint) -> HUint:
+    """-x (two's complement): NOT then +1 via the carry-in path."""
+    xnot = tfhe.NOT(ctx, x.bits)
+    zero = _trivial(x.count * x.width, False)
+    one = _trivial(x.count, True)
+    s, _ = _add_core(ctx, bk, xnot, zero, x.count, x.width, carry_in=one)
+    return HUint(s, x.width, x.count)
+
+
+def abs_(ctx, bk, x: HUint) -> HUint:
+    """|x| per integer (MUX on the sign bit)."""
+    return mux(ctx, bk, _msb(x), neg(ctx, bk, x), x)
+
+
+def ge_signed(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
+    """Encrypted signed (x >= y): same-sign -> unsigned compare; different
+    signs -> x >= y iff y is the negative one."""
+    assert x.width == y.width and x.count == y.count
+    geu = ge(ctx, bk, x, y)                      # no-borrow of x - y
+    sx, sy = _msb(x), _msb(y)
+    same = tfhe.XNOR(ctx, bk, sx, sy)
+    return tfhe.MUX(ctx, bk, same, geu, sy)
+
+
+def shift_right_arith(ctx, x: HUint, k: int) -> HUint:
+    """x >> k replicating the sign bit (free — bit positions move)."""
+    if k == 0:
+        return x
+    k = min(k, x.width - 1)
+    a = x.bits.a.reshape(x.count, x.width, -1)
+    b = x.bits.b.reshape(x.count, x.width)
+    sa = jnp.broadcast_to(a[:, -1:], (x.count, k, a.shape[-1]))
+    sb = jnp.broadcast_to(b[:, -1:], (x.count, k))
+    na = jnp.concatenate([a[:, k:], sa], axis=1)
+    nb = jnp.concatenate([b[:, k:], sb], axis=1)
+    ct = tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+                         variance=x.bits.variance)
+    return HUint(ct, x.width, x.count)

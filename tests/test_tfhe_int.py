@@ -113,3 +113,37 @@ def test_huint8_mul(setup):
     hy = tfhe_int.encrypt_huint(ctx, sk, ys, 8, rng.new_key(54))
     got = tfhe_int.decrypt_huint(ctx, sk, tfhe_int.mul(ctx, bk, hx, hy))
     np.testing.assert_array_equal(got.astype(np.int64), (xs * ys) % 256)
+
+
+def test_hint8_signed(setup):
+    ctx, sk, bk = setup
+    xs = np.array([-5, 100, -128], object)
+    ys = np.array([3, -100, 127], object)
+    hx = tfhe_int.encrypt_hint(ctx, sk, xs, 8, rng.new_key(60))
+    hy = tfhe_int.encrypt_hint(ctx, sk, ys, 8, rng.new_key(61))
+    # roundtrip
+    np.testing.assert_array_equal(tfhe_int.decrypt_hint(ctx, sk, hx), xs)
+    # signed add (two's complement wrap)
+    hs, _ = tfhe_int.add(ctx, bk, hx, hy)
+    want = np.array([((int(a) + int(b) + 128) % 256) - 128
+                     for a, b in zip(xs, ys)], object)
+    np.testing.assert_array_equal(tfhe_int.decrypt_hint(ctx, sk, hs), want)
+    # negate / abs
+    hn = tfhe_int.neg(ctx, bk, hx)
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_hint(ctx, sk, hn),
+        np.array([((-int(a) + 128) % 256) - 128 for a in xs], object))
+    ha = tfhe_int.abs_(ctx, bk, hx)
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_hint(ctx, sk, ha),
+        np.array([abs(int(a)) if int(a) != -128 else -128 for a in xs],
+                 object))
+    # signed compare
+    geb = tfhe.decrypt(ctx, sk, tfhe_int.ge_signed(ctx, bk, hx, hy))
+    np.testing.assert_array_equal(
+        geb, np.array([int(a) >= int(b) for a, b in zip(xs, ys)]))
+    # arithmetic shift (free)
+    hr = tfhe_int.shift_right_arith(ctx, hx, 2)
+    np.testing.assert_array_equal(
+        tfhe_int.decrypt_hint(ctx, sk, hr),
+        np.array([int(a) >> 2 for a in xs], object))
