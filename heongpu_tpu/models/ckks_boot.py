@@ -77,6 +77,13 @@ class BootConfig:
     # killing the x^3 term; residual drops to 3x^5/40 (~1e-6).  Costs
     # 2*base_count+1 levels (reference covers this regime with the Chebyshev
     # eval_mod path instead, operator.cu:4036).
+    piece_depth: int = 1        # levels per CtoS/StoC piece (diagonal scale)
+    # piece_depth=base_count encodes the DFT diagonals at the COMPOSITE
+    # scale (~2^56) and rescales each matvec by that many primes: the
+    # additive keyswitch/rounding noise of every rotation lands relative to
+    # 2^56 instead of 2^28 before the 2^r EvalMod amplification — measured
+    # floor 2.7e-4 -> sub-1e-5 (the <2^30-lane analog of the reference's
+    # 45-bit working scale).  Costs (pieces * (depth-1) * 2) extra levels.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,18 +98,21 @@ class Piece:
     n1: int
     giants: Tuple[Tuple[int, Tuple[int, ...], jnp.ndarray], ...]
     pt_scale: float
+    depth: int = 1    # levels consumed (diagonals at product of that many primes)
 
 
 def _piece_flatten(p: Piece):
     pts = tuple(g[2] for g in p.giants)
-    meta = (p.level, p.n1, tuple((g[0], g[1]) for g in p.giants), p.pt_scale)
+    meta = (p.level, p.n1, tuple((g[0], g[1]) for g in p.giants), p.pt_scale,
+            p.depth)
     return pts, meta
 
 
 def _piece_unflatten(meta, pts):
-    level, n1, gmeta, pt_scale = meta
+    level, n1, gmeta, pt_scale, depth = meta
     giants = tuple((g, babies, pt) for (g, babies), pt in zip(gmeta, pts))
-    return Piece(level=level, n1=n1, giants=giants, pt_scale=pt_scale)
+    return Piece(level=level, n1=n1, giants=giants, pt_scale=pt_scale,
+                 depth=depth)
 
 
 jax.tree_util.register_pytree_node(Piece, _piece_flatten, _piece_unflatten)
@@ -121,8 +131,8 @@ class BootKeys:
 
     @property
     def out_level(self) -> int:
-        return (len(self.ctos_pieces) + self.cfg.taylor_degree +
-                self.cfg.exp_squarings + len(self.stoc_pieces))
+        last = self.stoc_pieces[-1]
+        return last.level + last.depth
 
 
 def _bk_flatten(k: BootKeys):
@@ -282,13 +292,16 @@ def encode_diags_qtilde(ctx: CkksContext, vecs, level: int,
 
 
 def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
-                 batch_encode, scale_mult: float = 1.0) -> Piece:
+                 batch_encode, scale_mult: float = 1.0,
+                 depth: int = 1) -> Piece:
     """scale_mult != 1 renormalizes the ciphertext scale through this piece:
     output scale = input scale * scale_mult (the plaintext encoding scale is
-    a free knob; the rescale divides by exactly q_last)."""
+    a free knob; the rescale divides by exactly the last `depth` primes)."""
     ns = ctx.n // 2
     ka = ctx.active(level)
-    scale = float(ctx.q_primes[ka - 1]) * scale_mult
+    scale = scale_mult
+    for j in range(depth):
+        scale *= float(ctx.q_primes[ka - 1 - j])
     n1, groups = _bsgs_split(list(diags), ns)
     # encode every diagonal of the piece in ONE device call (a single NTT
     # shape per piece — avoids one XLA compilation per giant group)
@@ -305,7 +318,8 @@ def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
         nb = len(babies)
         giants.append((g, tuple(babies), pts_all[idx: idx + nb]))
         idx += nb
-    return Piece(level=level, n1=n1, giants=tuple(giants), pt_scale=scale)
+    return Piece(level=level, n1=n1, giants=tuple(giants), pt_scale=scale,
+                 depth=depth)
 
 
 def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
@@ -332,7 +346,8 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
     # EvalMod depth: 1 level for the leading multiply_plain, base_count per
     # Horner ct*ct step and per squaring (composite scale rescales bc times)
     bc = cfg.base_count
-    stoc_level0 = (p1 + 1 + (cfg.taylor_degree - 1) * bc
+    pd = cfg.piece_depth
+    stoc_level0 = (p1 * pd + 1 + (cfg.taylor_degree - 1) * bc
                    + cfg.exp_squarings * bc
                    + (2 * bc + 1 if cfg.arcsin_order else 0))
 
@@ -343,9 +358,10 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
         p, pinv, r2, *_ = base.bview()
         return mm.to_mont(nttm.ntt_fwd(res, tb), p, pinv, r2)
 
-    ctos_pieces = [_build_piece(ctx, m, lvl, batch_encode)
-                   for lvl, m in enumerate(ctos_mats)]
-    stoc_pieces = [_build_piece(ctx, m, stoc_level0 + i, batch_encode)
+    ctos_pieces = [_build_piece(ctx, m, i * pd, batch_encode, depth=pd)
+                   for i, m in enumerate(ctos_mats)]
+    stoc_pieces = [_build_piece(ctx, m, stoc_level0 + i * pd, batch_encode,
+                                depth=pd)
                    for i, m in enumerate(stoc_mats)]
 
     steps = set()
@@ -451,7 +467,9 @@ def matvec_piece(ctx: CkksContext, ct: Ciphertext, piece: Piece,
         if g:
             ct_g = rotate_exact(ctx, ct_g, gk, g)
         out = ct_g if out is None else ckks.add(ctx, out, ct_g)
-    return ckks.rescale(ctx, out)
+    for _ in range(piece.depth):
+        out = ckks.rescale(ctx, out)
+    return out
 
 
 def _const_pt(ctx, ct, value, scale):

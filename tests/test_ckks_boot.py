@@ -90,3 +90,28 @@ def test_regular_bootstrap():
     sq = ckks.rescale(CTX, ckks.relinearize(CTX, ckks.multiply(CTX, fresh, fresh), rk))
     got2 = ckks.decode(CTX, ckks.decrypt(CTX, SK, sq))
     np.testing.assert_allclose(got2.real, z * z, atol=1e-1)
+
+
+def test_precision_bootstrap_composite():
+    """Precision mode: composite q0 (Q0~2^58) + composite-scale pieces
+    (piece_depth=2) + arcsine correction => ~18 bits of precision under
+    <2^30 lanes (reference-competitive; its 60-bit-q0 regime).  Measured
+    4.4e-6 max err; the 3e-5 bound here is the regression threshold."""
+    from heongpu_tpu.models import ckks, ckks_boot
+    DEPTH = 44
+    ctx = ckks.make_context(256, [29, 29] + [28] * (DEPTH - 2), scale_bits=28,
+                            sec_level="none", ks_type="II", alpha=2,
+                            p_count=4)
+    sk = ckks.keygen_secret(ctx, rng.new_key(61), hamming_weight=16)
+    pk = ckks.keygen_public(ctx, rng.new_key(62), sk)
+    cfg = ckks_boot.BootConfig(taylor_degree=9, exp_squarings=5, base_count=2,
+                               arcsin_order=1, piece_depth=2)
+    keys = ckks_boot.generate_bootstrap_keys(ctx, rng.new_key(63), sk, cfg)
+    z = np.random.default_rng(99).uniform(-0.5, 0.5, ctx.n // 2)
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=keys.msg_scale),
+                      rng.new_key(66))
+    ct = ckks.mod_drop(ctx, ct, ctx.k - 2 - ct.level)
+    fresh = ckks_boot.regular_bootstrap(ctx, ct, keys)
+    got = ckks.decode(ctx, ckks.decrypt(ctx, sk, fresh))
+    err = np.max(np.abs(got.real - z))
+    assert err < 3e-5, err
