@@ -49,6 +49,9 @@ def main():
                     "precision mode)")
     ap.add_argument("--arcsin", type=int, default=0,
                     help="arcsine correction order (composite-q0 precision)")
+    ap.add_argument("--piece-depth", type=int, default=1, dest="piece_depth",
+                    help="levels per CtoS/StoC piece (=base_count for the "
+                    "composite-scale precision mode)")
     ap.add_argument("--debug", action="store_true",
                     help="decrypt between phases (regular only)")
     args = ap.parse_args()
@@ -77,7 +80,8 @@ def main():
     tag = (f"{args.variant}_n{N}_d{DEPTH}_p{args.pieces}_t{args.taylor}"
            f"_s{args.squarings}_hw{args.hw}_a{args.alpha}"
            f"_pc{args.p_count}_bc{args.base_count}"
-           + (f"_as{args.arcsin}" if args.arcsin else ""))
+           + (f"_as{args.arcsin}" if args.arcsin else "")
+           + (f"_pd{args.piece_depth}" if args.piece_depth > 1 else ""))
     cache_file = os.path.join(cache_dir, tag + ".bin")
     if args.variant == "regular":
         entry = ckks_boot.regular_bootstrap
@@ -95,7 +99,8 @@ def main():
                                        ctos_pieces=args.pieces,
                                        stoc_pieces=args.pieces,
                                        base_count=args.base_count,
-                                       arcsin_order=args.arcsin)
+                                       arcsin_order=args.arcsin,
+                                       piece_depth=args.piece_depth)
             keys = ckks_boot.generate_bootstrap_keys(ctx, rng.new_key(63), sk,
                                                      cfg)
         else:

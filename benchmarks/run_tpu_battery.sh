@@ -27,9 +27,10 @@ TO=14400 run boot65536 python benchmarks/benchmark_boot.py \
 # 4. composed per-op tables
 TO=5400 run ckks_ops python benchmarks/benchmark_ckks.py --sizes 16384,65536
 
-# 5. N=2^13 regular bootstrap (precision-mode composite-q0 + arcsine)
+# 5. N=2^13 regular bootstrap (precision mode: composite q0 + composite-scale
+#    pieces + arcsine — 4.4e-6 max err at N=256 on CPU)
 TO=10800 run boot8192_prec python benchmarks/benchmark_boot.py \
-  --n 8192 --depth 39 --base-count 2 --arcsin 1 --taylor 9 --squarings 5 \
-  --hw 32 --p-count 6 --reps 3
+  --n 8192 --depth 44 --base-count 2 --arcsin 1 --piece-depth 2 \
+  --taylor 9 --squarings 5 --hw 32 --p-count 6 --reps 3
 
 echo "=== battery done"
