@@ -25,6 +25,8 @@ BASELINE_OPS_S = 500.0
 def main():
     small = "--small" in sys.argv
     import jax
+    from heongpu_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from heongpu_tpu.models import ckks
     from heongpu_tpu.utils import rng
 

@@ -54,6 +54,9 @@ def main():
                     "composite-scale precision mode)")
     ap.add_argument("--debug", action="store_true",
                     help="decrypt between phases (regular only)")
+    ap.add_argument("--phased", action="store_true",
+                    help="jit CtoS / EvalMod / StoC as separate programs "
+                    "(much faster first compile; prints per-phase ms)")
     args = ap.parse_args()
 
     N, DEPTH = args.n, args.depth
@@ -168,11 +171,48 @@ def main():
         print(f"[dbg] exp_sin: max|got-want| = "
               f"{np.max(np.abs(gs - want_s)):.3e}", flush=True)
 
-    f = jax.jit(entry)
-    t0 = time.time()
-    out = f(ctx, ct, keys)
-    jax.block_until_ready(out.c)
-    print(f"first call (compile+run): {time.time()-t0:.1f} s", flush=True)
+    if args.phased and args.variant == "regular":
+        # separate programs: XLA compile time is superlinear in program
+        # size, so three smaller compiles beat one monolith by a lot; the
+        # inter-phase HBM round-trip is noise at these latencies
+        f_ctos = jax.jit(lambda c_, k_: ckks_boot.coeff_to_slot(
+            ctx, ckks_boot.mod_raise(ctx, c_, args.base_count), k_))
+        f_mod = jax.jit(lambda t_, k_: ckks_boot.eval_exp_sin(ctx, t_, k_))
+        f_stoc = jax.jit(lambda s0_, s1_, k_: ckks_boot.slot_to_coeff(
+            ctx, s0_, s1_, k_))
+        phase_ms = {}
+
+        def f(_ctx, c_, k_):
+            t0_, t1_ = f_ctos(c_, k_)
+            s0_ = f_mod(t0_, k_)
+            s1_ = f_mod(t1_, k_)
+            return f_stoc(s0_, s1_, k_)
+
+        t0 = time.time()
+        t0v_, t1v_ = jax.block_until_ready(f_ctos(ct, keys))
+        print(f"phase CtoS compile+run: {time.time()-t0:.1f} s", flush=True)
+        t0 = time.time()
+        s0v_ = jax.block_until_ready(f_mod(t0v_, keys))
+        s1v_ = f_mod(t1v_, keys)
+        print(f"phase EvalMod compile+run: {time.time()-t0:.1f} s", flush=True)
+        t0 = time.time()
+        out = f_stoc(s0v_, s1v_, keys)
+        jax.block_until_ready(out.c)
+        print(f"phase StoC compile+run: {time.time()-t0:.1f} s", flush=True)
+        # per-phase steady-state latencies
+        for name, fn in (("ctos", lambda: f_ctos(ct, keys)),
+                         ("evalmod", lambda: f_mod(t0v_, keys)),
+                         ("stoc", lambda: f_stoc(s0v_, s1v_, keys))):
+            t0 = time.time()
+            jax.block_until_ready(fn())
+            phase_ms[name] = round(1e3 * (time.time() - t0), 1)
+        print(f"phase latencies (ms): {phase_ms}", flush=True)
+    else:
+        f = jax.jit(entry)
+        t0 = time.time()
+        out = f(ctx, ct, keys)
+        jax.block_until_ready(out.c)
+        print(f"first call (compile+run): {time.time()-t0:.1f} s", flush=True)
 
     times = []
     for _ in range(args.reps):
@@ -198,6 +238,8 @@ def main():
         "levels_left": ctx.active(out.level),
         "times_ms": [round(1e3 * t, 1) for t in times],
     }
+    if args.phased and args.variant == "regular":
+        result["phase_ms"] = phase_ms
     print(json.dumps(result), flush=True)
 
 

@@ -11,6 +11,8 @@ import time
 import numpy as np
 import jax
 
+from heongpu_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 from heongpu_tpu.models import ckks
 from heongpu_tpu.utils import rng
 

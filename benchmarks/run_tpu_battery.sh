@@ -22,7 +22,8 @@ TO=5400 run tfhe python benchmarks/benchmark_tfhe.py
 # 3. N=2^16 regular bootstrap, corrected config (p_count=6 keyswitch headroom)
 #    key bundle cached under .bootcache (712 s load instead of 940 s gen)
 TO=14400 run boot65536 python benchmarks/benchmark_boot.py \
-  --n 65536 --depth 25 --taylor 13 --squarings 4 --hw 32 --p-count 6 --reps 3
+  --n 65536 --depth 25 --taylor 13 --squarings 4 --hw 32 --p-count 6 --reps 3 \
+  --phased
 
 # 4. composed per-op tables
 TO=5400 run ckks_ops python benchmarks/benchmark_ckks.py --sizes 16384,65536
@@ -31,6 +32,11 @@ TO=5400 run ckks_ops python benchmarks/benchmark_ckks.py --sizes 16384,65536
 #    pieces + arcsine — 4.4e-6 max err at N=256 on CPU)
 TO=10800 run boot8192_prec python benchmarks/benchmark_boot.py \
   --n 8192 --depth 44 --base-count 2 --arcsin 1 --piece-depth 2 \
-  --taylor 9 --squarings 5 --hw 32 --p-count 6 --reps 3
+  --taylor 9 --squarings 5 --hw 32 --p-count 6 --reps 3 --phased
+
+# 6. backend A/B on the flagship: fused Pallas NTT; fused Pallas keyswitch
+TO=3600 run flagship_pallas env HEONGPU_NTT=pallas python bench.py
+TO=3600 run flagship_ksfused env HEONGPU_KS=fused python bench.py
+TO=3600 run flagship_bothfused env HEONGPU_KS=fused HEONGPU_NTT=pallas python bench.py
 
 echo "=== battery done"

@@ -68,6 +68,19 @@ def build_ks2_level(q_primes: Sequence[int], p_primes: Sequence[int],
                     convs=convs, div_stages=tuple(stages))
 
 
+import os
+
+# Keyswitch core backend: "stages" (jnp, XLA-fused) or "fused" (single
+# Pallas kernel: digit build + NTT + MAC + INTT all in VMEM, TPU only).
+_BACKEND = os.environ.get("HEONGPU_KS", "stages")
+
+
+def set_backend(name: str) -> None:
+    assert name in ("stages", "fused"), name
+    global _BACKEND
+    _BACKEND = name
+
+
 def keyswitch2(poly_q, k0, k1, ks2: KS2Level, ntt_qp_level: nttm.NttTables,
                base_qp_level: rns.Base, in_ntt: bool, out_ntt: bool,
                ntt_q_level: nttm.NttTables):
@@ -75,6 +88,12 @@ def keyswitch2(poly_q, k0, k1, ks2: KS2Level, ntt_qp_level: nttm.NttTables,
 
     poly_q: (ka, n); k0/k1: (d̃, ka+alpha, n) NTT+Montgomery (already sliced
     to the level).  Returns (d0, d1) over the active Q primes."""
+    if (_BACKEND == "fused" and poly_q.ndim == 2
+            and len(ks2.groups) <= 16 and ntt_qp_level.mxu is None):
+        from . import keyswitch_pallas
+        return keyswitch_pallas.keyswitch2_fused(
+            poly_q, k0, k1, ks2, ntt_qp_level, base_qp_level,
+            in_ntt, out_ntt, ntt_q_level)
     if in_ntt:
         poly_q = nttm.ntt_inv(poly_q, ntt_q_level)
     digs = []

@@ -4,9 +4,18 @@ TPU-native replacement for GPU-NTT (`gpuntt` merged-radix kernels used by the
 reference at e.g. src/lib/host/bfv/operator.cu:376-391), built as a
 **four-step NTT**: N = N1·N2, so the transform is
 
-    pre-scale psi^i  →  N2 independent GS-DIF NTTs of size N1 (axis -2)
-    →  cross-twiddle w^(i2·j1)  →  transpose  →
-    N1 independent GS-DIF NTTs of size N2 (axis -2)
+    N2 independent *merged negacyclic* CT-DIT NTTs of size N1 (axis -2)
+    →  cross-twiddle psi^(i2)·w^(i2·j1)  →  transpose  →
+    N1 independent cyclic GS-DIF NTTs of size N2 (axis -2)
+
+The classic psi^i negacyclic pre-scale is GONE: its psi1^r part (psi1 =
+psi^N2) is absorbed into the first sub-transform's stage twiddles (the
+Harvey/SEAL merged form: stage twiddles are psi1 powers in bit-reversed
+index order), and its psi^(i2) part is folded into the cross-twiddle table.
+The inverse mirrors this — the n^{-1}·psi^{-i} post-scale folds into the
+inverse cross-twiddle (n^{-1}·psi^{-i2}) and the merged GS-DIF stage
+twiddles (psi1^{-r}).  Each direction saves one full (L, N) multiply pass
+and two (L, N) tables of HBM traffic per transform.
 
 Every butterfly runs along a *sublane* axis (full-width VPU vector ops, no
 lane shuffles), there is exactly one transpose, and — crucially — there are
@@ -87,7 +96,16 @@ class NttTables:
 
     Shapes: per-limb constants (L,); psi/ipsi_n/tw_mat tables (L, N);
     stage-s twiddles (L, 2^(s-1)) for the size-N1 (tw1) / size-N2 (tw2)
-    sub-transforms."""
+    sub-transforms.
+
+    Semantics: tw1/itw1 are MERGED-negacyclic stage tables (psi1-power
+    twiddles in bit-reversed index order, consumed by _merged_ct_stages /
+    _merged_gs_stages); tw2/itw2 are plain cyclic GS/CT stage tables.
+    tw_mat carries the folded psi^(i2) factor and itw_mat the folded
+    n^{-1}·psi^{-i2} factor (see module docstring).  psi/ipsi_n remain the
+    raw psi^i / n^{-1}·psi^{-i} power tables for host-side consumers
+    (encoder twists, TFHE key prep) — the transform itself no longer reads
+    them."""
     n: int
     logn: int
     n1: int
@@ -171,14 +189,32 @@ def shoup_np(w: np.ndarray, p: int) -> np.ndarray:
 
 
 def _stage_tables(w_sub: int, size: int, p: int):
-    """Twiddle arrays for a size-`size` sub-NTT with primitive root w_sub:
-    stage s (m = 2^s) uses w_m^t = w_sub^((size/m)·t), t < m/2."""
+    """Twiddle arrays for a size-`size` cyclic sub-NTT with primitive root
+    w_sub: stage s (m = 2^s) uses w_m^t = w_sub^((size/m)·t), t < m/2."""
     logm = size.bit_length() - 1
     tw, tw_sh = [], []
     for s in range(1, logm + 1):
         m = 1 << s
         wm = pow(w_sub, size // m, p)
         ts = pow_series(wm, m // 2, p)
+        tw.append(ts)
+        tw_sh.append(shoup_np(ts, p))
+    return tw, tw_sh
+
+
+def _merged_stage_tables(psi_sub: int, size: int, p: int):
+    """Merged-negacyclic stage twiddles for a size-`size` sub-NTT: stage s
+    (m = 2^(s-1) butterfly groups) uses S_i = psi_sub^(bitrev_log2(size)(m+i))
+    for i < m — the Harvey/SEAL form that needs no psi pre/post-scale.
+    Same shapes as _stage_tables (stage s -> (m,) = (2^(s-1),))."""
+    logm = size.bit_length() - 1
+    pows = pow_series(psi_sub, size, p)
+    tw, tw_sh = [], []
+    for s in range(1, logm + 1):
+        m = 1 << (s - 1)
+        idx = np.array([nt.bit_reverse(m + i, logm) for i in range(m)],
+                       np.int64)
+        ts = pows[idx]
         tw.append(ts)
         tw_sh.append(shoup_np(ts, p))
     return tw, tw_sh
@@ -255,21 +291,27 @@ def build_ntt_tables(primes, n: int, psis=None, use_mxu=None) -> NttTables:
             ipsi_n[li] = ip.astype(np.uint32)
             ipsi_n_sh[li] = shoup_np(ip, p)
 
-        # cross twiddle: tw_mat[r·N2 + i2] = w^(i2 · br1(r))
+        # cross twiddle with the folded negacyclic factors:
+        #   fwd: tw_mat[r·N2 + i2] = psi^(i2) · w^(i2 · br1(r))
+        #   inv: itw_mat[r·N2 + i2] = n^{-1}·psi^{-i2} · w^{-i2 · br1(r)}
+        ipr = ipsi_n[li]                      # n^{-1}·psi^{-i} powers
         wp = pow_series(w, n, p).astype(np.uint64)  # w^e for e < n
         e = (np.arange(n2, dtype=np.int64)[None, :] * br1[:, None]) % n
-        tm = wp[e.reshape(-1)].astype(np.uint32)
+        pu = np.uint64(p)
+        tm = (wp[e] * pp[:n2].astype(np.uint64)[None, :] % pu)
+        tm = tm.reshape(-1).astype(np.uint32)
         tw_mat[li] = tm
         tw_mat_sh[li] = shoup_np(tm, p)
         iwp = pow_series(iw, n, p).astype(np.uint64)
-        itm = iwp[e.reshape(-1)].astype(np.uint32)
+        itm = (iwp[e] * ipr[:n2].astype(np.uint64)[None, :] % pu)
+        itm = itm.reshape(-1).astype(np.uint32)
         itw_mat[li] = itm
         itw_mat_sh[li] = shoup_np(itm, p)
 
-        w1 = pow(w, n2, p)   # order n1
-        w2 = pow(w, n1, p)   # order n2
-        a, b = _stage_tables(w1, n1, p)
-        ia, ib = _stage_tables(pow(w1, -1, p), n1, p)
+        psi1 = pow(psi, n2, p)   # psi1^2 = w1, order 2·n1 (negacyclic n1)
+        w2 = pow(w, n1, p)       # order n2
+        a, b = _merged_stage_tables(psi1, n1, p)
+        ia, ib = _merged_stage_tables(pow(psi1, -1, p), n1, p)
         for s in range(b1):
             tw1[s][li] = a[s]
             tw1_sh[s][li] = b[s]
@@ -304,6 +346,56 @@ def build_ntt_tables(primes, n: int, psis=None, use_mxu=None) -> NttTables:
         tw2=tuple(j(t) for t in tw2), tw2_sh=tuple(j(t) for t in tw2_sh),
         itw2=tuple(j(t) for t in itw2), itw2_sh=tuple(j(t) for t in itw2_sh),
     )
+
+
+def _merged_ct_stages(y, tws, tws_sh, p):
+    """Merged-negacyclic CT-DIT stages along axis -2 of (..., L, S, W):
+    natural order in, bit-reversed order out, psi pre-scale absorbed into
+    the twiddles (tables from _merged_stage_tables).  Stage s has m=2^(s-1)
+    butterfly groups of span t = S/(2m): (u, v) -> (u + S·v, u − S·v).
+
+    Harvey-lazy: inputs/outputs in [0, 2p)."""
+    shp = y.shape
+    size = shp[-2]
+    pb = p[:, None, None, None]
+    p2 = pb + pb
+    for s in range(1, len(tws) + 1):
+        m = 1 << (s - 1)
+        t = size // (2 * m)
+        z = y.reshape(shp[:-2] + (m, 2, t, shp[-1]))
+        u = z[..., 0, :, :]
+        v = z[..., 1, :, :]
+        tw = tws[s - 1][:, :, None, None]
+        tw_sh = tws_sh[s - 1][:, :, None, None]
+        tt = mm.shoup_mul_lazy(v, tw, tw_sh, pb)
+        y = jnp.stack(
+            [mm.cond_sub(u + tt, p2), mm.cond_sub((u + p2) - tt, p2)],
+            axis=-3).reshape(shp)
+    return y
+
+
+def _merged_gs_stages(y, tws, tws_sh, p):
+    """Merged-negacyclic GS-DIF stages along axis -2: bit-reversed in,
+    natural out, psi^{-r} post-scale absorbed into the twiddles (only the
+    n^{-1} factor is left for the caller to fold elsewhere).  Stage order
+    mirrors _merged_ct_stages (consumed largest m first):
+    (u, v) -> (u + v, (u − v)·S).  Harvey-lazy: values in [0, 2p)."""
+    shp = y.shape
+    size = shp[-2]
+    pb = p[:, None, None, None]
+    p2 = pb + pb
+    for s in reversed(range(1, len(tws) + 1)):
+        m = 1 << (s - 1)
+        t = size // (2 * m)
+        z = y.reshape(shp[:-2] + (m, 2, t, shp[-1]))
+        u = z[..., 0, :, :]
+        v = z[..., 1, :, :]
+        tw = tws[s - 1][:, :, None, None]
+        tw_sh = tws_sh[s - 1][:, :, None, None]
+        tt = mm.shoup_mul_lazy((u + p2) - v, tw, tw_sh, pb)
+        y = jnp.stack([mm.cond_sub(u + v, p2), tt],
+                      axis=-3).reshape(shp)
+    return y
 
 
 def _gs_stages(y, tws, tws_sh, p):
@@ -355,18 +447,36 @@ def _ct_stages(y, tws, tws_sh, p):
     return y
 
 
+import os
+
+# Transform backend: "stages" (jnp stage path, XLA-fused — default),
+# "pallas" (fused single-kernel VMEM transform, TPU only).  Tables with an
+# attached MXU plan always take the MXU path.  Trace-time static, so it can
+# be flipped per-process via HEONGPU_NTT or set_backend() for A/B runs.
+_BACKEND = os.environ.get("HEONGPU_NTT", "stages")
+
+
+def set_backend(name: str) -> None:
+    """'stages' or 'pallas' (module-wide; affects traces made after the call)."""
+    global _BACKEND
+    assert name in ("stages", "pallas"), name
+    _BACKEND = name
+
+
 def ntt_fwd(x, tb: NttTables):
     """Coefficient domain -> NTT domain (storage order eval_order).
     x: (..., L, N) uint32, values < p."""
     if tb.mxu is not None:
         from . import ntt_mxu
         return ntt_mxu.ntt_fwd_mxu(x, tb, tb.mxu)
+    if _BACKEND == "pallas":
+        from . import ntt_pallas
+        return ntt_pallas.ntt_pallas(x, tb, inverse=False)
     n1, n2 = tb.n1, tb.n2
     lead = x.shape[:-1]
     p = tb.p[:, None]
-    y = mm.shoup_mul_lazy(x, tb.psi, tb.psi_sh, p)
-    y = y.reshape(lead + (n1, n2))
-    y = _gs_stages(y, tb.tw1, tb.tw1_sh, tb.p)
+    y = x.reshape(lead + (n1, n2))
+    y = _merged_ct_stages(y, tb.tw1, tb.tw1_sh, tb.p)
     y = y.reshape(lead + (tb.n,))
     y = mm.shoup_mul_lazy(y, tb.tw_mat, tb.tw_mat_sh, p)
     y = jnp.swapaxes(y.reshape(lead + (n1, n2)), -1, -2)
@@ -380,6 +490,9 @@ def ntt_inv(x, tb: NttTables):
     if tb.mxu is not None:
         from . import ntt_mxu
         return ntt_mxu.ntt_inv_mxu(x, tb, tb.mxu)
+    if _BACKEND == "pallas":
+        from . import ntt_pallas
+        return ntt_pallas.ntt_pallas(x, tb, inverse=True)
     n1, n2 = tb.n1, tb.n2
     lead = x.shape[:-1]
     p = tb.p[:, None]
@@ -388,11 +501,11 @@ def ntt_inv(x, tb: NttTables):
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (tb.n,))
     y = mm.shoup_mul_lazy(y, tb.itw_mat, tb.itw_mat_sh, p)
     y = y.reshape(lead + (n1, n2))
-    y = _ct_stages(y, tb.itw1, tb.itw1_sh, tb.p)
+    y = _merged_gs_stages(y, tb.itw1, tb.itw1_sh, tb.p)
     y = y.reshape(lead + (tb.n,))
-    # exact final scaling; shoup_mul tolerates the lazy [0, 2p) input and
-    # its conditional subtraction doubles as the deferred reduction
-    return mm.shoup_mul(y, tb.ipsi_n, tb.ipsi_n_sh, p)
+    # n^{-1}·psi^{-i} is already folded into itw_mat/itw1; one deferred
+    # reduction from the lazy [0, 2p) stage range makes the output exact
+    return mm.cond_sub(y, p)
 
 
 def ntt_naive_host(a, p: int, psi: int):

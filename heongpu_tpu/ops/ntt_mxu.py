@@ -127,11 +127,19 @@ def build_mxu_tables(primes, n: int) -> MxuTables:
         w = psi * psi % p
         w1, w2 = pow(w, n2, p), pow(w, n1, p)
         iw1, iw2 = pow(w1, -1, p), pow(w2, -1, p)
-        # fwd: out[r] = sum_i w^(br(r)*i) x[i]  (GS/DIF output order)
-        m1[li] = _mat_planes(_dft_matrix(n1, w1, p, True, False), p)
+        psi1 = pow(psi, n2, p)
+        pu = np.uint64(p)
+        pows1 = nttm.pow_series(psi1, n1, p).astype(np.uint64)
+        ipows1 = nttm.pow_series(pow(psi1, -1, p), n1, p).astype(np.uint64)
+        # fwd n1: merged negacyclic — out[r] = sum_i psi1^i w1^(br(r)·i) x[i]
+        # (the psi1^i column scale replaces ops/ntt.py's psi pre-scale)
+        f1 = _dft_matrix(n1, w1, p, True, False) * pows1[None, :] % pu
+        m1[li] = _mat_planes(f1, p)
         m2[li] = _mat_planes(_dft_matrix(n2, w2, p, True, False), p)
-        # inv: out[i] = sum_r iw^(i*br(r)) x[r] (CT/DIT consuming bitrev)
-        im1[li] = _mat_planes(_dft_matrix(n1, iw1, p, False, True), p)
+        # inv n1: out[i] = psi1^{-i} sum_r iw1^(i·br(r)) x[r] (row scale
+        # replaces the final ipsi_n post-scale; n^{-1} lives in itw_mat)
+        i1 = _dft_matrix(n1, iw1, p, False, True) * ipows1[:, None] % pu
+        im1[li] = _mat_planes(i1, p)
         im2[li] = _mat_planes(_dft_matrix(n2, iw2, p, False, True), p)
         c = (int(OFF) * (1 + (1 << 8) + (1 << 16) + (1 << 24))) % p
         coff[li] = c
@@ -194,9 +202,8 @@ def ntt_fwd_mxu(x, tb: nttm.NttTables, mx: MxuTables):
     n1, n2 = tb.n1, tb.n2
     lead = x.shape[:-1]
     p = tb.p[:, None]
-    y = mm.shoup_mul(x, tb.psi, tb.psi_sh, p)
-    y = y.reshape(lead + (n1, n2))
-    y = _sub_ntt_mxu(y, mx.m1, tb, mx)
+    y = x.reshape(lead + (n1, n2))
+    y = _sub_ntt_mxu(y, mx.m1, tb, mx)   # merged negacyclic (psi1 in matrix)
     y = y.reshape(lead + (tb.n,))
     y = mm.shoup_mul(y, tb.tw_mat, tb.tw_mat_sh, p)
     y = jnp.swapaxes(y.reshape(lead + (n1, n2)), -1, -2)
@@ -214,6 +221,7 @@ def ntt_inv_mxu(x, tb: nttm.NttTables, mx: MxuTables):
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (tb.n,))
     y = mm.shoup_mul(y, tb.itw_mat, tb.itw_mat_sh, p)
     y = y.reshape(lead + (n1, n2))
+    # merged negacyclic inverse (psi1^{-i} in matrix; n^{-1} in itw_mat);
+    # _sub_ntt_mxu output is already exact (< p)
     y = _sub_ntt_mxu(y, mx.im1, tb, mx)
-    y = y.reshape(lead + (tb.n,))
-    return mm.shoup_mul(y, tb.ipsi_n, tb.ipsi_n_sh, p)
+    return y.reshape(lead + (tb.n,))

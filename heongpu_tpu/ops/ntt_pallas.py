@@ -3,15 +3,18 @@
 The jnp stage path in ops/ntt.py materialises every butterfly stage through
 HBM (~2·log2(N) full-array passes per transform).  This kernel runs the whole
 transform per (poly, limb) row inside VMEM: one HBM read, one HBM write, all
-log2(N) butterfly stages + pre/cross/post scalings on registers/VMEM.
+log2(N) butterfly stages + cross scaling on registers/VMEM.
 
 Mapping (see ops/ntt.py for the math):
-  * grid = (rows,) where rows = batch·limbs; each program transforms one
-    length-N row viewed as (N1, N2): GS stages along axis 0 (sublane
-    butterflies, full-lane VPU ops) -> cross twiddle -> transpose ->
-    GS stages -> store.  No data permutations (NTT storage order).
-  * per-limb (N1, N2) tables are selected with index_map = row % L; the tiny
-    per-stage twiddle vectors live whole in VMEM and are row-indexed
+  * grid = (L, B): limb is the OUTER axis, so the per-limb tables keep the
+    same block index across all B consecutive inner steps and Pallas elides
+    their re-fetch — each (N-sized) table is DMA'd once per limb, not once
+    per row.
+  * merged-negacyclic stages (psi folded into first-transform twiddles and
+    the cross table, ops/ntt.py semantics) mean only ONE big (N1, N2) table
+    per direction (tw_mat / itw_mat) instead of psi+tw_mat — per-row HBM
+    traffic is 1 read + 1 write of the data and (amortised) one table.
+  * per-stage twiddle vectors live whole in VMEM and are limb-indexed
     dynamically.
   * modmul = Shoup (mul_hi via 16-bit limb decomposition): ~7 int32
     vector multiplies; everything stays uint32 in VMEM.
@@ -34,21 +37,58 @@ from . import modmath as mm
 from . import ntt as nttm
 
 
-def _shoup(a, w, w_sh, p):
-    q = mm.mul_hi(a, w_sh)
-    r = a * w - q * p
-    return jnp.where(r >= p, r - p, r)
-
-
 def _shoup_lazy(a, w, w_sh, p):
     """Harvey lazy Shoup: result in [0, 2p) for any uint32 a, w < p."""
     q = mm.mul_hi(a, w_sh)
     return a * w - q * p
 
 
+def _merged_ct_2d(y, limb, tws, tws_sh, p):
+    """Merged-negacyclic CT stages along axis 0 of (S, W); stage s has
+    m = 2^(s-1) groups of span t = S/(2m); tws[s-1] ref shape (L, 2^(s-1)).
+    Natural in, bit-reversed out, values in [0, 2p) (see ops/ntt.py)."""
+    size, w = y.shape
+    p2 = p + p
+    for s in range(1, len(tws) + 1):
+        m = 1 << (s - 1)
+        t = size // (2 * m)
+        z = y.reshape(m, 2, t, w)
+        u = z[:, 0]
+        v = z[:, 1]
+        tw = tws[s - 1][limb][:, None, None]
+        tw_sh = tws_sh[s - 1][limb][:, None, None]
+        tt = _shoup_lazy(v, tw, tw_sh, p)
+        add = u + tt
+        add = jnp.where(add >= p2, add - p2, add)
+        sub = (u + p2) - tt
+        sub = jnp.where(sub >= p2, sub - p2, sub)
+        y = jnp.stack([add, sub], axis=1).reshape(size, w)
+    return y
+
+
+def _merged_gs_2d(y, limb, tws, tws_sh, p):
+    """Merged-negacyclic GS stages along axis 0: bit-reversed in, natural
+    out (inverse direction; psi^{-r} absorbed, n^{-1} folded in itw_mat)."""
+    size, w = y.shape
+    p2 = p + p
+    for s in reversed(range(1, len(tws) + 1)):
+        m = 1 << (s - 1)
+        t = size // (2 * m)
+        z = y.reshape(m, 2, t, w)
+        u = z[:, 0]
+        v = z[:, 1]
+        tw = tws[s - 1][limb][:, None, None]
+        tw_sh = tws_sh[s - 1][limb][:, None, None]
+        add = u + v
+        add = jnp.where(add >= p2, add - p2, add)
+        tt = _shoup_lazy((u + p2) - v, tw, tw_sh, p)
+        y = jnp.stack([add, tt], axis=1).reshape(size, w)
+    return y
+
+
 def _gs_stages_2d(y, limb, tws, tws_sh, p):
-    """GS/DIF stages along axis 0 of (S, W); tws[s-1] ref shape (L, 2^(s-1)).
-    Harvey-lazy: values in [0, 2p) across stages (see ops/ntt.py)."""
+    """Cyclic GS/DIF stages along axis 0 of (S, W); tws[s-1] ref shape
+    (L, 2^(s-1)).  Harvey-lazy: values in [0, 2p) across stages."""
     size, w = y.shape
     p2 = p + p
     for s in reversed(range(1, len(tws) + 1)):
@@ -66,7 +106,7 @@ def _gs_stages_2d(y, limb, tws, tws_sh, p):
 
 
 def _ct_stages_2d(y, limb, tws, tws_sh, p):
-    """CT/DIT stages along axis 0 of (S, W), Harvey-lazy like _gs_stages_2d."""
+    """Cyclic CT/DIT stages along axis 0 of (S, W), Harvey-lazy."""
     size, w = y.shape
     p2 = p + p
     for s in range(1, len(tws) + 1):
@@ -85,27 +125,24 @@ def _ct_stages_2d(y, limb, tws, tws_sh, p):
     return y
 
 
-def _fwd_kernel(L, log1, log2, x_ref, p_ref, psi_ref, psi_sh_ref,
-                twm_ref, twm_sh_ref, *refs):
+def _fwd_kernel(log1, log2, x_ref, p_ref, twm_ref, twm_sh_ref, *refs):
     stage_refs, o_ref = refs[:-1], refs[-1]
-    limb = jax.lax.rem(pl.program_id(0), L)
+    limb = pl.program_id(0)
     p = p_ref[limb, 0]
     tw1 = stage_refs[:log1]
     tw1_sh = stage_refs[log1: 2 * log1]
     tw2 = stage_refs[2 * log1: 2 * log1 + log2]
     tw2_sh = stage_refs[2 * log1 + log2:]
-    y = _shoup_lazy(x_ref[0], psi_ref[0], psi_sh_ref[0], p)
-    y = _gs_stages_2d(y, limb, tw1, tw1_sh, p)
+    y = _merged_ct_2d(x_ref[0], limb, tw1, tw1_sh, p)
     y = _shoup_lazy(y, twm_ref[0], twm_sh_ref[0], p)
     y = y.T
     y = _gs_stages_2d(y, limb, tw2, tw2_sh, p)
     o_ref[0] = jnp.where(y >= p, y - p, y)   # single deferred reduction
 
 
-def _inv_kernel(L, log1, log2, x_ref, p_ref, ipsi_ref, ipsi_sh_ref,
-                itwm_ref, itwm_sh_ref, *refs):
+def _inv_kernel(log1, log2, x_ref, p_ref, itwm_ref, itwm_sh_ref, *refs):
     stage_refs, o_ref = refs[:-1], refs[-1]
-    limb = jax.lax.rem(pl.program_id(0), L)
+    limb = pl.program_id(0)
     p = p_ref[limb, 0]
     itw1 = stage_refs[:log1]
     itw1_sh = stage_refs[log1: 2 * log1]
@@ -115,9 +152,8 @@ def _inv_kernel(L, log1, log2, x_ref, p_ref, ipsi_ref, ipsi_sh_ref,
     y = _ct_stages_2d(y, limb, itw2, itw2_sh, p)
     y = y.T                                        # (N1, N2)
     y = _shoup_lazy(y, itwm_ref[0], itwm_sh_ref[0], p)
-    y = _ct_stages_2d(y, limb, itw1, itw1_sh, p)
-    # exact final scaling doubles as the deferred reduction
-    o_ref[0] = _shoup(y, ipsi_ref[0], ipsi_sh_ref[0], p)
+    y = _merged_gs_2d(y, limb, itw1, itw1_sh, p)
+    o_ref[0] = jnp.where(y >= p, y - p, y)   # deferred reduction (exact)
 
 
 @functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
@@ -132,30 +168,31 @@ def ntt_pallas(x, tb: nttm.NttTables, inverse: bool = False,
     rows = 1
     for d in lead:
         rows *= d
+    B = rows // L          # lead always ends with the L axis
 
     if inverse:
-        kern = functools.partial(_inv_kernel, L, log1, log2)
+        kern = functools.partial(_inv_kernel, log1, log2)
         # input rows are read in (N2, N1) view; big tables in matching views
         xf = x.reshape(rows, n2, n1)
-        big = [tb.ipsi_n.reshape(L, n1, n2), tb.ipsi_n_sh.reshape(L, n1, n2),
-               tb.itw_mat.reshape(L, n1, n2), tb.itw_mat_sh.reshape(L, n1, n2)]
+        big = [tb.itw_mat.reshape(L, n1, n2), tb.itw_mat_sh.reshape(L, n1, n2)]
         stages = (list(tb.itw1) + list(tb.itw1_sh) +
                   list(tb.itw2) + list(tb.itw2_sh))
         in_block = (1, n2, n1)
         out_block = (1, n1, n2)
     else:
-        kern = functools.partial(_fwd_kernel, L, log1, log2)
+        kern = functools.partial(_fwd_kernel, log1, log2)
         xf = x.reshape(rows, n1, n2)
-        big = [tb.psi.reshape(L, n1, n2), tb.psi_sh.reshape(L, n1, n2),
-               tb.tw_mat.reshape(L, n1, n2), tb.tw_mat_sh.reshape(L, n1, n2)]
+        big = [tb.tw_mat.reshape(L, n1, n2), tb.tw_mat_sh.reshape(L, n1, n2)]
         stages = (list(tb.tw1) + list(tb.tw1_sh) +
                   list(tb.tw2) + list(tb.tw2_sh))
         in_block = (1, n1, n2)
         out_block = (1, n2, n1)
 
-    limb_map = lambda r: (r % L, 0, 0)
-    in_specs = [pl.BlockSpec(in_block, lambda r: (r, 0, 0),
-                             memory_space=pltpu.VMEM),
+    # grid = (L, B): the inner (fast) axis walks the batch with the limb
+    # fixed, so the limb-indexed big-table blocks are fetched once per limb.
+    row_map = lambda l, b: (b * L + l, 0, 0)
+    limb_map = lambda l, b: (l, 0, 0)
+    in_specs = [pl.BlockSpec(in_block, row_map, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += [pl.BlockSpec((1, n1, n2), limb_map, memory_space=pltpu.VMEM)
                  for _ in big]
@@ -163,10 +200,9 @@ def ntt_pallas(x, tb: nttm.NttTables, inverse: bool = False,
 
     out = pl.pallas_call(
         kern,
-        grid=(rows,),
+        grid=(L, B),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(out_block, lambda r: (r, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(out_block, row_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows,) + out_block[1:], jnp.uint32),
         interpret=interpret,
     )(xf, tb.p.reshape(L, 1), *big, *stages)

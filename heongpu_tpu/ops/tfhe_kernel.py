@@ -96,8 +96,6 @@ def prep_tables(ctx):
 
     return dict(
         scal=jnp.asarray(scal),
-        psi=pack_big(tb.psi), psi_sh=pack_big(tb.psi_sh),
-        ipsi=pack_big(tb.ipsi_n), ipsi_sh=pack_big(tb.ipsi_n_sh),
         twm=pack_big(tb.tw_mat), twm_sh=pack_big(tb.tw_mat_sh),
         itwm=pack_big(tb.itw_mat), itwm_sh=pack_big(tb.itw_mat_sh),
         tw1=pack_stages(tb.tw1), tw1_sh=pack_stages(tb.tw1_sh),
@@ -175,6 +173,50 @@ def _stages_inv(y, tws_ref, tws_sh_ref, p_l, Bt, rest):
     return y
 
 
+def _stages_merged_ct(y, tws_ref, tws_sh_ref, p_l, rest):
+    """Merged-negacyclic CT stages along sublanes of (32, L*rest): natural
+    in, bit-reversed out, psi pre-scale absorbed (ops/ntt.py semantics).
+    Stage s has m = 2^(s-1) twiddles (padded to 16 in tws_ref)."""
+    S = 5
+    p2 = p_l + p_l
+    for s in range(1, S + 1):
+        m = 1 << (s - 1)
+        t = N1 // (2 * m)
+        z = y.reshape(m, 2, t, L, rest)
+        u = z[:, 0]
+        v = z[:, 1]
+        tw = tws_ref[s - 1, :, :m]                    # (L, m)
+        tw_sh = tws_sh_ref[s - 1, :, :m]
+        twb = jnp.transpose(tw)[:, None, :, None]     # (m, 1, L, 1)
+        twsb = jnp.transpose(tw_sh)[:, None, :, None]
+        tt = mm.shoup_mul_lazy(v, twb, twsb, p_l)
+        add = mm.cond_sub(u + tt, p2)
+        sub = mm.cond_sub((u + p2) - tt, p2)
+        y = jnp.stack([add, sub], axis=1).reshape(N1, L * rest)
+    return y
+
+
+def _stages_merged_gs(y, tws_ref, tws_sh_ref, p_l, rest):
+    """Merged-negacyclic GS stages along sublanes: bit-reversed in, natural
+    out (inverse; psi^{-r} absorbed, n^{-1} folded into itw_mat)."""
+    S = 5
+    p2 = p_l + p_l
+    for s in reversed(range(1, S + 1)):
+        m = 1 << (s - 1)
+        t = N1 // (2 * m)
+        z = y.reshape(m, 2, t, L, rest)
+        u = z[:, 0]
+        v = z[:, 1]
+        tw = tws_ref[s - 1, :, :m]
+        tw_sh = tws_sh_ref[s - 1, :, :m]
+        twb = jnp.transpose(tw)[:, None, :, None]
+        twsb = jnp.transpose(tw_sh)[:, None, :, None]
+        add = mm.cond_sub(u + v, p2)
+        tt = mm.shoup_mul_lazy((u + p2) - v, twb, twsb, p_l)
+        y = jnp.stack([add, tt], axis=1).reshape(N1, L * rest)
+    return y
+
+
 def _transpose_blocks(y, rest):
     """Per-poly 32x32 transpose: (32, L*rest) with rest = g*32."""
     g = rest // N2
@@ -190,13 +232,10 @@ def _big_expand(t_ref, rest):
 
 
 def _ntt_fwd_k(y, refs, p_l, rest):
-    y = mm.shoup_mul_lazy(y.reshape(N1, L, rest),
-                          _big_expand(refs["psi"], rest).reshape(N1, L, rest),
-                          _big_expand(refs["psi_sh"], rest).reshape(N1, L, rest),
-                          p_l.reshape(1, L, 1)).reshape(N1, L * rest)
-    # stage/elementwise ops below view lanes as (L, rest)
+    # stage/elementwise ops below view lanes as (L, rest); the merged
+    # stages absorb the psi pre-scale (ops/ntt.py semantics)
     p4 = p_l.reshape(1, 1, L, 1)
-    y = _stages_fwd(y, refs["tw1"], refs["tw1_sh"], p4, None, rest)
+    y = _stages_merged_ct(y, refs["tw1"], refs["tw1_sh"], p4, rest)
     y = mm.shoup_mul_lazy(y.reshape(N1, L, rest),
                           _big_expand(refs["twm"], rest).reshape(N1, L, rest),
                           _big_expand(refs["twm_sh"], rest).reshape(N1, L, rest),
@@ -217,13 +256,10 @@ def _ntt_inv_k(y, refs, p_l, rest):
                           _big_expand(refs["itwm"], rest).reshape(N1, L, rest),
                           _big_expand(refs["itwm_sh"], rest).reshape(N1, L, rest),
                           p_l.reshape(1, L, 1)).reshape(N1, L * rest)
-    y = _stages_inv(y, refs["itw1"], refs["itw1_sh"], p4, None, rest)
-    # exact final scaling doubles as the deferred reduction ([0,2p) input ok)
-    y = mm.shoup_mul(y.reshape(N1, L, rest),
-                     _big_expand(refs["ipsi"], rest).reshape(N1, L, rest),
-                     _big_expand(refs["ipsi_sh"], rest).reshape(N1, L, rest),
-                     p_l.reshape(1, L, 1)).reshape(N1, L * rest)
-    return y
+    y = _stages_merged_gs(y, refs["itw1"], refs["itw1_sh"], p4, rest)
+    # n^{-1}·psi^{-i} folded into itw_mat/itw1; one deferred reduction
+    return mm.cond_sub(y.reshape(N1, L, rest),
+                       p_l.reshape(1, L, 1)).reshape(N1, L * rest)
 
 
 def _to_torus(y, scal, rest):
@@ -289,12 +325,11 @@ def _signed_to_rns_k(d, scal, rest):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _chain(n, Bt, acc0, a_ref, scal_ref, psi, psi_sh, ipsi, ipsi_sh,
+def _chain(n, Bt, acc0, a_ref, scal_ref,
            twm, twm_sh, itwm, itwm_sh, tw1, tw1_sh, tw2, tw2_sh,
            itw1, itw1_sh, itw2, itw2_sh, omega, bk_hbm,
            bk_buf, sem):
-    refs = dict(psi=psi, psi_sh=psi_sh, ipsi=ipsi, ipsi_sh=ipsi_sh,
-                twm=twm, twm_sh=twm_sh, itwm=itwm, itwm_sh=itwm_sh,
+    refs = dict(twm=twm, twm_sh=twm_sh, itwm=itwm, itwm_sh=itwm_sh,
                 tw1=tw1[:], tw1_sh=tw1_sh[:], tw2=tw2[:], tw2_sh=tw2_sh[:],
                 itw1=itw1[:], itw1_sh=itw1_sh[:], itw2=itw2[:],
                 itw2_sh=itw2_sh[:])
@@ -387,7 +422,7 @@ def _sum_mod(prod, p):
 RENORM2 = 4  # pair-steps between renormalisations (= 8 single-step units)
 
 
-def _chain2(n2, Bt, acc0, a_ref, scal_ref, psi, psi_sh, ipsi, ipsi_sh,
+def _chain2(n2, Bt, acc0, a_ref, scal_ref,
             twm, twm_sh, itwm, itwm_sh, tw1, tw1_sh, tw2, tw2_sh,
             itw1, itw1_sh, itw2, itw2_sh, omega, bk_hbm, bk_buf, sem):
     """2-bit key-unrolled CMux chain: n/2 sequential steps, each consuming a
@@ -395,8 +430,7 @@ def _chain2(n2, Bt, acc0, a_ref, scal_ref, psi, psi_sh, ipsi, ipsi_sh,
       acc += <D(acc), B0>·u0 + <D(acc), B1>·u1 + <D(acc), B01>·u0·u1,
     u_j = X^a_j − 1 (see models/tfhe.BootKey2).  One decompose + NTT round
     per TWO secret bits — the sequential-latency lever the reference lacks."""
-    refs = dict(psi=psi, psi_sh=psi_sh, ipsi=ipsi, ipsi_sh=ipsi_sh,
-                twm=twm, twm_sh=twm_sh, itwm=itwm, itwm_sh=itwm_sh,
+    refs = dict(twm=twm, twm_sh=twm_sh, itwm=itwm, itwm_sh=itwm_sh,
                 tw1=tw1[:], tw1_sh=tw1_sh[:], tw2=tw2[:], tw2_sh=tw2_sh[:],
                 itw1=itw1[:], itw1_sh=itw1_sh[:], itw2=itw2[:],
                 itw2_sh=itw2_sh[:])
@@ -490,7 +524,7 @@ def blind_rotate2(acc_k, a_t, bk2_stream, tables, n: int, Bt: int = 8,
     progs = B // Bt
     t = tables
 
-    grid_names = ["psi", "psi_sh", "ipsi", "ipsi_sh", "twm", "twm_sh",
+    grid_names = ["twm", "twm_sh",
                   "itwm", "itwm_sh", "tw1", "tw1_sh", "tw2", "tw2_sh",
                   "itw1", "itw1_sh", "itw2", "itw2_sh", "omega"]
 
@@ -563,7 +597,7 @@ def blind_rotate(acc_k, a_t, bk_stream, tables, n: int, Bt: int = 8,
 
     t = tables
 
-    grid_names = ["psi", "psi_sh", "ipsi", "ipsi_sh", "twm", "twm_sh",
+    grid_names = ["twm", "twm_sh",
                   "itwm", "itwm_sh", "tw1", "tw1_sh", "tw2", "tw2_sh",
                   "itw1", "itw1_sh", "itw2", "itw2_sh", "omega"]
 

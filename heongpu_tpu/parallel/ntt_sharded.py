@@ -37,10 +37,8 @@ def _table_tree(tb: nttm.NttTables):
     r = lambda a: a.reshape(L, n1, n2)
     return {
         "p": tb.p,
-        "psi": r(tb.psi), "psi_sh": r(tb.psi_sh),
         "twm": r(tb.tw_mat), "twm_sh": r(tb.tw_mat_sh),
         "itwm": r(tb.itw_mat), "itwm_sh": r(tb.itw_mat_sh),
-        "ipsi": r(tb.ipsi_n), "ipsi_sh": r(tb.ipsi_n_sh),
         "tw1": tuple(tb.tw1), "tw1_sh": tuple(tb.tw1_sh),
         "itw1": tuple(tb.itw1), "itw1_sh": tuple(tb.itw1_sh),
         "tw2": tuple(tb.tw2), "tw2_sh": tuple(tb.tw2_sh),
@@ -53,8 +51,8 @@ def _table_specs():
     rep = P()
     return {
         "p": rep,
-        "psi": sh, "psi_sh": sh, "twm": sh, "twm_sh": sh,
-        "itwm": sh, "itwm_sh": sh, "ipsi": sh, "ipsi_sh": sh,
+        "twm": sh, "twm_sh": sh,
+        "itwm": sh, "itwm_sh": sh,
         "tw1": None, "tw1_sh": None, "itw1": None, "itw1_sh": None,
         "tw2": None, "tw2_sh": None, "itw2": None, "itw2_sh": None,
     }
@@ -72,8 +70,8 @@ def _expand_specs(t, specs):
 def _fwd_local(x, t):
     """Local block (..., L, N1, N2/D) -> (..., L, N2, N1/D)."""
     pb = t["p"][:, None, None]
-    y = mm.shoup_mul_lazy(x, t["psi"], t["psi_sh"], pb)
-    y = nttm._gs_stages(y, t["tw1"], t["tw1_sh"], t["p"])
+    # merged-negacyclic CT stages absorb the psi pre-scale (ops/ntt.py)
+    y = nttm._merged_ct_stages(x, t["tw1"], t["tw1_sh"], t["p"])
     y = mm.shoup_mul_lazy(y, t["twm"], t["twm_sh"], pb)
     # transpose phase: all-to-all over ICI re-tiles (N1, N2/D) -> (N1/D, N2)
     y = jax.lax.all_to_all(y, "coef", split_axis=y.ndim - 2,
@@ -92,9 +90,10 @@ def _inv_local(x, t):
     y = jax.lax.all_to_all(y, "coef", split_axis=y.ndim - 1,
                            concat_axis=y.ndim - 2, tiled=True)
     y = mm.shoup_mul_lazy(y, t["itwm"], t["itwm_sh"], pb)  # (..., N1, N2/D)
-    y = nttm._ct_stages(y, t["itw1"], t["itw1_sh"], t["p"])
-    # exact final scaling doubles as the deferred reduction
-    return mm.shoup_mul(y, t["ipsi"], t["ipsi_sh"], pb)
+    # merged GS stages absorb psi^{-r}; n^{-1} is folded into itwm
+    y = nttm._merged_gs_stages(y, t["itw1"], t["itw1_sh"], t["p"])
+    # single deferred reduction from the lazy [0, 2p) range
+    return mm.cond_sub(y, pb)
 
 
 def make_sharded_ntt(mesh: Mesh, tb: nttm.NttTables, lead_dims: int = 0):
