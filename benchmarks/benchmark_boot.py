@@ -140,8 +140,9 @@ def main():
             z = np.logical_and(z.astype(bool), b2.astype(bool)).astype(float)
     else:
         z = rnd.uniform(-0.5, 0.5, N // 2)
-        scale = keys.msg_scale if args.variant == "slim" else None
-        ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=scale),
+        # regular with base_count>1 carries the composite scale (2^56-ish)
+        # through the whole pipeline; slim uses its own reduced msg scale
+        ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=keys.msg_scale),
                           rng.new_key(64))
         ct = ckks.mod_drop(ctx, ct, drop_to)
 

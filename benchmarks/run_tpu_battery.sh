@@ -31,7 +31,7 @@ TO=5400 run ckks_ops python benchmarks/benchmark_ckks.py --sizes 16384,65536
 # 5. N=2^13 regular bootstrap (precision mode: composite q0 + composite-scale
 #    pieces + arcsine — 4.4e-6 max err at N=256 on CPU)
 TO=10800 run boot8192_prec python benchmarks/benchmark_boot.py \
-  --n 8192 --depth 44 --base-count 2 --arcsin 1 --piece-depth 2 \
+  --n 8192 --depth 44 --base-count 2 --arcsin 1 --piece-depth 2 --pieces 2 \
   --taylor 9 --squarings 5 --hw 32 --p-count 6 --reps 3 --phased
 
 # 6. backend A/B on the flagship: fused Pallas NTT; fused Pallas keyswitch

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
 from ..ops import compose, polyops, rns
-from ..utils import rng
+from ..utils import errors, rng
 from . import ckks, ringkit
 from .ckks import CkksContext, Ciphertext
 
@@ -357,6 +357,16 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
         base = ctx.base_qp_at(level)
         p, pinv, r2, *_ = base.bview()
         return mm.to_mont(nttm.ntt_fwd(res, tb), p, pinv, r2)
+
+    # the full pipeline consumes stoc_level0 + stoc_pieces*pd levels and must
+    # leave `base_count` limbs for the final decrypt-capable ciphertext
+    need = stoc_level0 + len(stoc_mats) * pd + bc
+    if ctx.k < need:
+        raise errors.ParameterError(
+            f"bootstrap config needs a {need}-prime Q chain "
+            f"(CtoS {p1}x{pd} + EvalMod {stoc_level0 - p1 * pd} + "
+            f"StoC {len(stoc_mats)}x{pd} + {bc} base limb(s)); "
+            f"context has {ctx.k}")
 
     ctos_pieces = [_build_piece(ctx, m, i * pd, batch_encode, depth=pd)
                    for i, m in enumerate(ctos_mats)]

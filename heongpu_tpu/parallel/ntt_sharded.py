@@ -24,7 +24,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):  # jax >= 0.8 renamed check_rep -> check_vma
+        if "check_rep" in kw:
+            kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map(f, **kw)
+except ImportError:  # jax < 0.7
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import modmath as mm
 from ..ops import ntt as nttm
