@@ -39,7 +39,8 @@ def test_fused_matches_stages(ka, alpha):
         rng.integers(0, np.array(primes)[None, :, None],
                      (d_t, kqp, n)).astype(np.uint32))
 
-    for in_ntt, out_ntt in [(False, False), (True, True)]:
+    for in_ntt, out_ntt in [(False, False), (True, True),
+                            (True, False), (False, True)]:
         want0, want1 = ks2m.keyswitch2(poly, k0, k1, ks2, tb_qp, base_qp,
                                        in_ntt, out_ntt, tb_q)
         got0, got1 = ksp.keyswitch2_fused(poly, k0, k1, ks2, tb_qp, base_qp,
