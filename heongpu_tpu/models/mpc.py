@@ -362,3 +362,109 @@ def ckks_colboot_coordinator(ctx: ckks.CkksContext, ct, shares, common_seed: int
     a = crs_uniform(ring, common_seed, (ctx.n,))[: ctx.k]
     c0_new = mm.add_mod(acc1, m_full, pf)
     return ckks.Ciphertext(jnp.stack([c0_new, a]), 2, 0, ct.scale)
+
+
+# ---------------------------------------------------------------------
+# t-out-of-N threshold decryption (Shamir over each RNS limb field)
+# ---------------------------------------------------------------------
+# The reference marks t-out-of-N as future work (example/mpc/README.md:72);
+# this implements it the standard way (Shamir secret sharing of the RLWE
+# key + Lagrange-weighted partial decryptions with noise flooding).  Every
+# RNS limb lives in the field Z_q (q prime), and the NTT + Montgomery maps
+# are Z_q-linear bijections, so the key can be shared directly in its
+# stored (NTT, Montgomery) domain: f(x) = s + a_1 x + ... + a_{t-1} x^{t-1}
+# with uniform a_k in R_q^QP, share_i = f(i).
+
+@dataclasses.dataclass(frozen=True)
+class ThresholdShare:
+    """Party `index`'s Shamir share of a secret key (x-coordinate = index)."""
+    index: int
+    threshold: int
+    s_ntt_mont_qp: jnp.ndarray      # (L, n) f(index), NTT+Montgomery domain
+
+
+jax.tree_util.register_dataclass(
+    ThresholdShare, data_fields=["s_ntt_mont_qp"],
+    meta_fields=["index", "threshold"])
+
+
+def _limb_consts(primes, vals):
+    """(L, 1) uint32 (c, shoup(c)) broadcast arrays for per-limb constants."""
+    c = [int(v) % int(q) for v, q in zip(vals, primes)]
+    sh = [mm.shoup(cv, int(q)) for cv, q in zip(c, primes)]
+    return (jnp.asarray(np.array(c, np.uint32))[:, None],
+            jnp.asarray(np.array(sh, np.uint32))[:, None])
+
+
+def shamir_share_secret(ctx, key, sk: SecretKey, n_parties: int,
+                        threshold: int) -> List[ThresholdShare]:
+    """Dealer-side split of `sk` into N shares, any `threshold` of which
+    decrypt.  Shares cover the full QP basis (same layout as the key)."""
+    assert 1 <= threshold <= n_parties
+    primes = tuple(int(q) for q in ctx.q_primes) + tuple(
+        int(q) for q in ctx.p_primes)
+    pb = jnp.asarray(np.array(primes, np.uint32))[:, None]
+    coeffs = [rng.uniform_rns(rng.fold_in(key, k), primes, (ctx.n,))
+              for k in range(1, threshold)]
+    shares = []
+    for i in range(1, n_parties + 1):
+        acc = sk.s_ntt_mont_qp
+        for k, a in enumerate(coeffs, start=1):
+            c, csh = _limb_consts(primes, [pow(i, k, q) for q in primes])
+            acc = mm.add_mod(acc, mm.shoup_mul(a, c, csh, pb), pb)
+        shares.append(ThresholdShare(i, threshold, acc))
+    return shares
+
+
+def _lagrange0(indices, q: int) -> dict:
+    """{i: lambda_i^S mod q} with sum_i lambda_i f(i) = f(0) over Z_q."""
+    lams = {}
+    for i in indices:
+        num, den = 1, 1
+        for j in indices:
+            if j != i:
+                num = num * j % q
+                den = den * ((j - i) % q) % q
+        lams[i] = num * pow(den, -1, q) % q
+    return lams
+
+
+def _lam_share(ctx, share: ThresholdShare, participants, kq: int):
+    """lambda_i^S-scaled share rows over the first kq Q limbs."""
+    participants = tuple(sorted(participants))
+    assert len(participants) >= share.threshold, (
+        f"need {share.threshold} participants, got {len(participants)}")
+    assert share.index in participants
+    primes = [int(q) for q in ctx.q_primes[:kq]]
+    lam = [_lagrange0(participants, q)[share.index] for q in primes]
+    c, csh = _limb_consts(primes, lam)
+    pb = jnp.asarray(np.array(primes, np.uint32))[:, None]
+    return mm.shoup_mul(share.s_ntt_mont_qp[:kq], c, csh, pb)
+
+
+def bfv_decrypt_partial_threshold(ctx: bfv.BfvContext,
+                                  share: ThresholdShare, ct,
+                                  participants, key):
+    """p_i = c1 * (lambda_i^S * f(i)) + e_smudge; fuse any `threshold` of
+    them with bfv_decrypt_fuse."""
+    kq = ctx.k
+    s_lam = _lam_share(ctx, share, participants, kq)
+    p, pinv, *_ = ctx.base_q.bview()
+    tb = ctx.ntt_qp.slice_limbs(0, kq)
+    c1s = nttm.ntt_inv(mm.mont_mul(nttm.ntt_fwd(ct.c[1], tb), s_lam,
+                                   p, pinv), tb)
+    return mm.add_mod(c1s, _smudge_noise(key, ctx.q_primes, ctx.n), p)
+
+
+def ckks_decrypt_partial_threshold(ctx: ckks.CkksContext,
+                                   share: ThresholdShare, ct,
+                                   participants, key):
+    """CKKS analog (ciphertext already in NTT domain); fuse with
+    ckks_decrypt_fuse."""
+    ka = ctx.active(ct.level)
+    s_lam = _lam_share(ctx, share, participants, ka)
+    p, pinv, *_ = ctx.base_q_at(ct.level).bview()
+    c1s = mm.mont_mul(ct.c[1], s_lam, p, pinv)
+    sm = nttm.ntt_fwd(_smudge_noise(key, ctx.q_primes[:ka], ctx.n, bits=13),
+                      ctx.ntt_q(ct.level))
+    return mm.add_mod(c1s, sm, p)
