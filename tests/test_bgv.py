@@ -66,6 +66,7 @@ def test_multiply_plain(setup):
     np.testing.assert_array_equal(got, (m1 * m2 % ctx.t).astype(np.uint32))
 
 
+@pytest.mark.slow
 def test_multiply_relinearize_modswitch(setup):
     ctx, sk, pk = setup
     rk = bgv.keygen_relin(ctx, rng.new_key(87), sk)

@@ -140,6 +140,7 @@ def test_method2_keyswitch():
     np.testing.assert_allclose(got, np.roll(z1 * z1 * z2, -1), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_hoisted_rotation_method_ii():
     """Method-II (hybrid) hoisting: grouped FastBconv digits rotate by the
     NTT-domain gather like Method I (reference

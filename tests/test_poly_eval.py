@@ -20,6 +20,7 @@ def setup():
     return ctx, sk, pk, rk
 
 
+@pytest.mark.slow
 def test_cos_poly(setup):
     ctx, sk, pk, rk = setup
     z = np.linspace(-1, 1, ctx.n // 2)
