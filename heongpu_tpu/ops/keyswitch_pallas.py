@@ -127,16 +127,22 @@ def _kernel(d_t, alpha_max, groups, log1, log2,
         o_ref[c, 0] = jnp.where(y >= p, y - p, y)
 
 
-def build_fused_mat(ks2, kqp: int) -> np.ndarray:
+def build_fused_mat(ks2, kqp: int):
     """(d̃ · alpha_max, kqp) uint32: mat[j·alpha_max + t, l] =
-    |D_j/q_{g_t}|_{p_l} · 2^32 mod p_l (zero-padded for short groups)."""
-    d_t = len(ks2.groups)
+    |D_j/q_{g_t}|_{p_l} · 2^32 mod p_l (zero-padded for short groups).
+
+    Traceable (jnp): ks2.convs[*].mat_mont are pytree leaves, so this must
+    work when the whole context is a jit argument (models/ckks._keyswitch_poly)."""
     alpha_max = max(len(g) for g in ks2.groups)
-    mat = np.zeros((d_t * alpha_max, kqp), np.uint32)
+    rows = []
     for j, conv in enumerate(ks2.convs):
-        m = np.asarray(conv.mat_mont)                  # (len(g), kqp)
-        mat[j * alpha_max: j * alpha_max + m.shape[0]] = m
-    return mat
+        m = jnp.asarray(conv.mat_mont)                 # (len(g), kqp)
+        pad = alpha_max - m.shape[0]
+        if pad:
+            m = jnp.concatenate(
+                [m, jnp.zeros((pad, kqp), jnp.uint32)], axis=0)
+        rows.append(m)
+    return jnp.concatenate(rows, axis=0)
 
 
 def keyswitch2_fused(poly_q, k0, k1, ks2, ntt_qp_level: nttm.NttTables,
@@ -169,8 +175,11 @@ def keyswitch2_fused(poly_q, k0, k1, ks2, ntt_qp_level: nttm.NttTables,
     k0f = k0.reshape(k0.shape[:-1] + (n2, n1))         # NTT-domain view
     k1f = k1.reshape(k1.shape[:-1] + (n2, n1))
 
-    stages = (list(tb.tw1) + list(tb.tw1_sh) + list(tb.tw2) + list(tb.tw2_sh)
-              + list(tb.itw1) + list(tb.itw1_sh)
+    stages = (ntp.expand_merged_tables(tb.tw1, n1)
+              + ntp.expand_merged_tables(tb.tw1_sh, n1)
+              + list(tb.tw2) + list(tb.tw2_sh)
+              + ntp.expand_merged_tables(tb.itw1, n1)
+              + ntp.expand_merged_tables(tb.itw1_sh, n1)
               + list(tb.itw2) + list(tb.itw2_sh))
 
     limb_map = lambda l: (l, 0, 0)

@@ -45,7 +45,10 @@ def _shoup_lazy(a, w, w_sh, p):
 
 def _merged_ct_2d(y, limb, tws, tws_sh, p):
     """Merged-negacyclic CT stages along axis 0 of (S, W); stage s has
-    m = 2^(s-1) groups of span t = S/(2m); tws[s-1] ref shape (L, 2^(s-1)).
+    m = 2^(s-1) groups of span t = S/(2m); tws[s-1] ref shape (L, S/2, 1)
+    (group twiddle pre-repeated t times — see expand_merged_tables; Mosaic
+    rejects the (m,) -> (m,1,1) lane-to-leading-dim broadcast, but the
+    sublane split (S/2,1) -> (m,t,1) is supported).
     Natural in, bit-reversed out, values in [0, 2p) (see ops/ntt.py)."""
     size, w = y.shape
     p2 = p + p
@@ -55,8 +58,8 @@ def _merged_ct_2d(y, limb, tws, tws_sh, p):
         z = y.reshape(m, 2, t, w)
         u = z[:, 0]
         v = z[:, 1]
-        tw = tws[s - 1][limb][:, None, None]
-        tw_sh = tws_sh[s - 1][limb][:, None, None]
+        tw = tws[s - 1][limb].reshape(m, t, 1)
+        tw_sh = tws_sh[s - 1][limb].reshape(m, t, 1)
         tt = _shoup_lazy(v, tw, tw_sh, p)
         add = u + tt
         add = jnp.where(add >= p2, add - p2, add)
@@ -68,7 +71,8 @@ def _merged_ct_2d(y, limb, tws, tws_sh, p):
 
 def _merged_gs_2d(y, limb, tws, tws_sh, p):
     """Merged-negacyclic GS stages along axis 0: bit-reversed in, natural
-    out (inverse direction; psi^{-r} absorbed, n^{-1} folded in itw_mat)."""
+    out (inverse direction; psi^{-r} absorbed, n^{-1} folded in itw_mat).
+    tws[s-1] ref shape (L, S/2, 1), pre-expanded like _merged_ct_2d."""
     size, w = y.shape
     p2 = p + p
     for s in reversed(range(1, len(tws) + 1)):
@@ -77,13 +81,24 @@ def _merged_gs_2d(y, limb, tws, tws_sh, p):
         z = y.reshape(m, 2, t, w)
         u = z[:, 0]
         v = z[:, 1]
-        tw = tws[s - 1][limb][:, None, None]
-        tw_sh = tws_sh[s - 1][limb][:, None, None]
+        tw = tws[s - 1][limb].reshape(m, t, 1)
+        tw_sh = tws_sh[s - 1][limb].reshape(m, t, 1)
         add = u + v
         add = jnp.where(add >= p2, add - p2, add)
         tt = _shoup_lazy((u + p2) - v, tw, tw_sh, p)
         y = jnp.stack([add, tt], axis=1).reshape(size, w)
     return y
+
+
+def expand_merged_tables(tabs, size: int):
+    """Per-stage merged tables (L, 2^(s-1)) -> (L, size/2, 1): each group's
+    twiddle repeated span-many times, so kernels only ever sublane-split."""
+    out = []
+    for s, tw in enumerate(tabs, start=1):
+        m = 1 << (s - 1)
+        t = size // (2 * m)
+        out.append(jnp.repeat(jnp.asarray(tw), t, axis=1)[..., None])
+    return out
 
 
 def _gs_stages_2d(y, limb, tws, tws_sh, p):
@@ -175,16 +190,18 @@ def ntt_pallas(x, tb: nttm.NttTables, inverse: bool = False,
         # input rows are read in (N2, N1) view; big tables in matching views
         xf = x.reshape(rows, n2, n1)
         big = [tb.itw_mat.reshape(L, n1, n2), tb.itw_mat_sh.reshape(L, n1, n2)]
-        stages = (list(tb.itw1) + list(tb.itw1_sh) +
-                  list(tb.itw2) + list(tb.itw2_sh))
+        stages = (expand_merged_tables(tb.itw1, n1)
+                  + expand_merged_tables(tb.itw1_sh, n1)
+                  + list(tb.itw2) + list(tb.itw2_sh))
         in_block = (1, n2, n1)
         out_block = (1, n1, n2)
     else:
         kern = functools.partial(_fwd_kernel, log1, log2)
         xf = x.reshape(rows, n1, n2)
         big = [tb.tw_mat.reshape(L, n1, n2), tb.tw_mat_sh.reshape(L, n1, n2)]
-        stages = (list(tb.tw1) + list(tb.tw1_sh) +
-                  list(tb.tw2) + list(tb.tw2_sh))
+        stages = (expand_merged_tables(tb.tw1, n1)
+                  + expand_merged_tables(tb.tw1_sh, n1)
+                  + list(tb.tw2) + list(tb.tw2_sh))
         in_block = (1, n1, n2)
         out_block = (1, n2, n1)
 
