@@ -695,7 +695,12 @@ def _bootstrap(ctx, bk, ct: Ciphertext) -> Ciphertext:
                                 interpret=jax.default_backend() == "cpu")
     impl = _BOOT_IMPL
     if impl == "auto":
-        impl = "fused" if jax.default_backend() not in ("cpu",) else "raw"
+        # The fused Pallas chain currently only runs under the interpreter:
+        # Mosaic rejects the kernel's lane-splitting shape casts on real TPU
+        # ((32, L*Bt*P*32) -> (32, L, Bt, P, 32) is an "unsupported shape
+        # cast"); until the kernel is relaid with batch*limb*poly on
+        # sublanes, raw (lax.fori_loop of XLA ops) is the compiled path.
+        impl = "raw"
     if impl == "fused":
         return bootstrap_fused(ctx, bk, ct)
     return bootstrap_raw(ctx, bk, ct)

@@ -449,18 +449,26 @@ def _ct_stages(y, tws, tws_sh, p):
 
 import os
 
-# Transform backend: "stages" (jnp stage path, XLA-fused — default),
-# "pallas" (fused single-kernel VMEM transform, TPU only).  Tables with an
-# attached MXU plan always take the MXU path.  Trace-time static, so it can
-# be flipped per-process via HEONGPU_NTT or set_backend() for A/B runs.
-_BACKEND = os.environ.get("HEONGPU_NTT", "stages")
+# Transform backend: "auto" (fused Pallas VMEM kernel on TPU — measured
+# 495 vs 465 ops/s on the N=2^16 flagship chain — jnp stage path on CPU,
+# where the Pallas interpreter is slow), "stages", or "pallas".  Tables with
+# an attached MXU plan always take the MXU path.  Trace-time static, so it
+# can be flipped per-process via HEONGPU_NTT or set_backend() for A/B runs.
+_BACKEND = os.environ.get("HEONGPU_NTT", "auto")
 
 
 def set_backend(name: str) -> None:
-    """'stages' or 'pallas' (module-wide; affects traces made after the call)."""
+    """'auto', 'stages' or 'pallas' (module-wide; affects later traces)."""
     global _BACKEND
-    assert name in ("stages", "pallas"), name
+    assert name in ("auto", "stages", "pallas"), name
     _BACKEND = name
+
+
+def _use_pallas() -> bool:
+    if _BACKEND == "auto":
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    return _BACKEND == "pallas"
 
 
 def ntt_fwd(x, tb: NttTables):
@@ -469,7 +477,7 @@ def ntt_fwd(x, tb: NttTables):
     if tb.mxu is not None:
         from . import ntt_mxu
         return ntt_mxu.ntt_fwd_mxu(x, tb, tb.mxu)
-    if _BACKEND == "pallas":
+    if _use_pallas():
         from . import ntt_pallas
         return ntt_pallas.ntt_pallas(x, tb, inverse=False)
     n1, n2 = tb.n1, tb.n2
@@ -490,7 +498,7 @@ def ntt_inv(x, tb: NttTables):
     if tb.mxu is not None:
         from . import ntt_mxu
         return ntt_mxu.ntt_inv_mxu(x, tb, tb.mxu)
-    if _BACKEND == "pallas":
+    if _use_pallas():
         from . import ntt_pallas
         return ntt_pallas.ntt_pallas(x, tb, inverse=True)
     n1, n2 = tb.n1, tb.n2

@@ -364,7 +364,7 @@ def _chain(n, Bt, acc0, a_ref, scal_ref,
             get_dma((i + 1) % 2, i + 1).start()
         get_dma(i % 2, i).wait()
 
-        a_row = a_ref[pl.ds(i, 1), :]                  # (1, Bt) int32 in [0,2N)
+        a_row = a_ref[:, pl.ds(i, 1)]                  # (Bt, 1) int32 in [0,2N)
 
         # omega = mont(X^a) per (limb, batch): product of 6 digit tables
         p_w = p_l.reshape(1, L, 1, 1)
@@ -473,8 +473,8 @@ def _chain2(n2, Bt, acc0, a_ref, scal_ref,
             get_dma((i + 1) % 2, i + 1).start()
         get_dma(i % 2, i).wait()
 
-        a0 = a_ref[pl.ds(2 * i, 1), :]                 # (1, Bt)
-        a1 = a_ref[pl.ds(2 * i + 1, 1), :]
+        a0 = a_ref[:, pl.ds(2 * i, 1)]                 # (Bt, 1)
+        a1 = a_ref[:, pl.ds(2 * i + 1, 1)]
         u0 = mm.sub_mod(omega_of(a0), r1_w, p_w)       # mont(X^a0 − 1)
         u1 = mm.sub_mod(omega_of(a1), r1_w, p_w)
         u01 = mm.mont_mul(u0, u1, p_w, pinv_w)
@@ -534,12 +534,13 @@ def blind_rotate2(acc_k, a_t, bk2_stream, tables, n: int, Bt: int = 8,
     def acc_map(b):
         return (0, b)
 
+    # a laid out (B, n): batch tile on sublanes (see blind_rotate)
     in_specs = [
-        pl.BlockSpec((n, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, n), lambda b: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((N1, Bt * L * P * N2), acc_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [a_t, accb, t["scal"]]
+    args = [jnp.swapaxes(a_t, 0, 1), accb, t["scal"]]
     for name in grid_names:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(t[name])
@@ -610,12 +611,14 @@ def blind_rotate(acc_k, a_t, bk_stream, tables, n: int, Bt: int = 8,
     def acc_map(b):
         return (0, b)
 
+    # a laid out (B, n): a (Bt, n) block keeps the batch tile on sublanes
+    # (Mosaic rejects lane blocks narrower than 128, i.e. (n, Bt))
     in_specs = [
-        pl.BlockSpec((n, Bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bt, n), lambda b: (b, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((N1, Bt * L * P * N2), acc_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [a_t, accb, t["scal"]]
+    args = [jnp.swapaxes(a_t, 0, 1), accb, t["scal"]]
     for name in grid_names:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(t[name])
