@@ -536,7 +536,7 @@ def _bootstrap_fused_core(ctx: TfheContext, bk: BootKey, ct: Ciphertext,
     acc, a_t = _boot_prologue(ctx, ct)                # (B, 2, 2, N), (B, n)
     acc_k = tk.to_kernel_layout(jnp.transpose(acc, (2, 0, 1, 3)))
     bk_stream = tk.prep_bk(bk.bk)
-    out_k = tk.blind_rotate(acc_k, jnp.transpose(a_t), bk_stream, tabs,
+    out_k = tk.blind_rotate(acc_k, a_t, bk_stream, tabs,
                             n=ctx.n, Bt=tile, interpret=interpret)
     acc_ntt = jnp.transpose(
         tk.from_kernel_layout(out_k, (2, B, 2)), (1, 2, 0, 3))
@@ -563,7 +563,7 @@ def _bootstrap_fused2_core(ctx: TfheContext, bk2: BootKey2, ct: Ciphertext,
     acc, a_t = _boot_prologue(ctx, ct)
     acc_k = tk.to_kernel_layout(jnp.transpose(acc, (2, 0, 1, 3)))
     bk_stream = tk.prep_bk2(bk2.bk2)
-    out_k = tk.blind_rotate2(acc_k, jnp.transpose(a_t), bk_stream, tabs,
+    out_k = tk.blind_rotate2(acc_k, a_t, bk_stream, tabs,
                              n=ctx.n, Bt=tile, interpret=interpret)
     acc_ntt = jnp.transpose(
         tk.from_kernel_layout(out_k, (2, B, 2)), (1, 2, 0, 3))

@@ -517,7 +517,7 @@ def _chain2(n2, Bt, acc0, a_ref, scal_ref,
 def blind_rotate2(acc_k, a_t, bk2_stream, tables, n: int, Bt: int = 8,
                   interpret: bool = False):
     """Key-unrolled blind rotation: n/2 chain steps over TGSW triples.
-    Same layouts as blind_rotate; bk2_stream from prep_bk2."""
+    Same layouts as blind_rotate (a_t is (B, n)); bk2_stream from prep_bk2."""
     lanes = acc_k.shape[1]
     B = lanes // (L * P * N2)
     assert B % Bt == 0, (B, Bt)
@@ -540,7 +540,7 @@ def blind_rotate2(acc_k, a_t, bk2_stream, tables, n: int, Bt: int = 8,
         pl.BlockSpec((N1, Bt * L * P * N2), acc_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [jnp.swapaxes(a_t, 0, 1), accb, t["scal"]]
+    args = [a_t, accb, t["scal"]]
     for name in grid_names:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(t[name])
@@ -587,7 +587,7 @@ def blind_rotate(acc_k, a_t, bk_stream, tables, n: int, Bt: int = 8,
     """Run the full n-step CMux chain.
 
     acc_k: (32, L*B*P*32) initial accumulator, kernel layout, NTT domain.
-    a_t: (n, B) int32 mod-switched rotation amounts.
+    a_t: (B, n) int32 mod-switched rotation amounts.
     bk_stream: (n, P, 32, L*R*32) from prep_bk.
     tables: dict from prep_tables.
     Returns the final accumulator in the same layout/domain."""
@@ -618,7 +618,7 @@ def blind_rotate(acc_k, a_t, bk_stream, tables, n: int, Bt: int = 8,
         pl.BlockSpec((N1, Bt * L * P * N2), acc_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [jnp.swapaxes(a_t, 0, 1), accb, t["scal"]]
+    args = [a_t, accb, t["scal"]]
     for name in grid_names:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(t[name])
