@@ -34,7 +34,12 @@ def main():
     nq = 4 if small else 12
     q_bits = [29] * nq
 
-    ctx = ckks.make_context(n, q_bits, sec_level="none", ks_type="II", alpha=4)
+    alpha = 4
+    for a in sys.argv:
+        if a.startswith("--alpha="):
+            alpha = int(a.split("=")[1])
+    ctx = ckks.make_context(n, q_bits, sec_level="none", ks_type="II",
+                            alpha=alpha)
     sk = ckks.keygen_secret(ctx, rng.new_key(1))
     pk = ckks.keygen_public(ctx, rng.new_key(2), sk)
     rk = ckks.keygen_relin(ctx, rng.new_key(3), sk)
