@@ -17,8 +17,8 @@ from heongpu_tpu.utils import rng
 
 
 def run_impl(ctx, sk, key, label, widths, batch, reps):
-    """One table for a bootstrap backend; `key` is a BootKey (raw/fused per
-    the module switch) or BootKey2 (key-unrolled chain)."""
+    """One table for a bootstrap backend; `key` is a BootKey (raw per the
+    module switch) or a tfhe.FusedKey (fused chain, end-to-end jit)."""
     R = np.random.default_rng(0)
     b1 = R.integers(0, 2, batch)
     b2 = R.integers(0, 2, batch)
@@ -37,15 +37,16 @@ def run_impl(ctx, sk, key, label, widths, batch, reps):
         dt = (time.perf_counter() - t0) / reps
         print(f"  {name:5s} {dt*1e3:8.1f} ms  ({dt/batch*1e6:8.1f} us/gate amortized)")
 
+    jadd = jax.jit(tfhe_int.add)
     for w in widths:
         xs = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
         ys = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
         hx = tfhe_int.encrypt_huint(ctx, sk, xs, w, rng.new_key())
         hy = tfhe_int.encrypt_huint(ctx, sk, ys, w, rng.new_key())
-        hs, _ = tfhe_int.add(ctx, key, hx, hy)
+        hs, _ = jadd(ctx, key, hx, hy)
         jax.block_until_ready(hs.bits.b)
         t0 = time.perf_counter()
-        hs, _ = tfhe_int.add(ctx, key, hx, hy)
+        hs, _ = jadd(ctx, key, hx, hy)
         jax.block_until_ready(hs.bits.b)
         dt = time.perf_counter() - t0
         print(f"  huint{w:<3d} add {dt*1e3:8.1f} ms  "
@@ -61,11 +62,15 @@ def main(widths, batch, reps, impls):
     if "unrolled" in impls:
         bk2 = tfhe.keygen_boot_unrolled(ctx, rng.new_key(7), sk)
     for impl in impls:
-        if impl in ("raw", "fused"):
+        if impl == "raw":
             tfhe.set_bootstrap_impl(impl)
             run_impl(ctx, sk, bk, impl, widths, batch, reps)
+        elif impl == "fused":
+            run_impl(ctx, sk, tfhe.compile_key(ctx, bk), impl, widths,
+                     batch, reps)
         else:
-            run_impl(ctx, sk, bk2, "unrolled", widths, batch, reps)
+            run_impl(ctx, sk, tfhe.compile_key(ctx, bk2), "unrolled", widths,
+                     batch, reps)
     tfhe.set_bootstrap_impl("auto")
 
 

@@ -526,15 +526,58 @@ def _fused_key_stream(key_arr, tile: int, unrolled: bool):
     return st
 
 
+def _pick_tile(B: int, tile) -> int:
+    """Grid programs run sequentially on the one TensorCore, so wider lane
+    tiles amortize per-step costs: 16 when the batch warrants it, 8 below."""
+    if tile is not None:
+        return tile
+    return 16 if B >= 16 else 8
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["stream", "ksk_a", "ksk_b", "tabs"],
+         meta_fields=["tile", "unrolled"])
+@dataclasses.dataclass(frozen=True)
+class FusedKey:
+    """Bootstrapping key pre-compiled for the fused Pallas chain: the
+    batch-tile-expanded HBM key stream + kernel-layout tables, plus the LWE
+    keyswitch key.  A pytree, so WHOLE circuits (gates, huint adders) jit
+    end-to-end with the key as an argument — no per-round eager dispatch and
+    no re-expansion inside traces (prep happens once, here).
+
+    Build with compile_key(); every gate/bootstrap entry point accepts it
+    anywhere a BootKey/BootKey2 is accepted."""
+    stream: jnp.ndarray
+    ksk_a: jnp.ndarray
+    ksk_b: jnp.ndarray
+    tabs: dict
+    tile: int
+    unrolled: bool
+
+
+def compile_key(ctx: TfheContext, key, tile: int = 16) -> FusedKey:
+    """Expand a BootKey/BootKey2 into a FusedKey for the fused TPU chain.
+    tile=16 amortizes best for huint workloads; use 8 for latency-critical
+    tiny batches (< 16 gates per call)."""
+    from ..ops import tfhe_kernel as tk
+    unrolled = isinstance(key, BootKey2)
+    stream = (tk.prep_bk2(key.bk2, Bt=tile) if unrolled
+              else tk.prep_bk(key.bk, Bt=tile))
+    return FusedKey(stream=stream, ksk_a=key.ksk_a, ksk_b=key.ksk_b,
+                    tabs=tk.prep_tables(ctx, Bt=tile), tile=tile,
+                    unrolled=unrolled)
+
+
 def bootstrap_fused(ctx: TfheContext, bk: BootKey, ct: Ciphertext,
-                    tile: int = 8, interpret: bool = False) -> Ciphertext:
+                    tile=None, interpret: bool = False) -> Ciphertext:
     """bootstrap_raw with the n-step CMux chain fused into one Pallas TPU
     kernel (ops/tfhe_kernel.py).  Bit-identical to bootstrap_raw; the batch
-    is padded to a multiple of `tile`.
+    is padded to a multiple of `tile` (default: adaptive, see _pick_tile).
 
     Table packing and key-stream expansion read/build concrete device
     arrays, so they run eagerly here (cached per context/key) and the rest
     is one jitted core."""
+    tile = _pick_tile(ct.a.shape[0], tile)
     tabs = _fused_tabs(ctx, tile)
     bk_stream = _fused_key_stream(bk.bk, tile, unrolled=False)
     return _bootstrap_fused_core(ctx, bk, bk_stream, ct, tabs, tile=tile,
@@ -596,9 +639,10 @@ def _bootstrap_fused2_core(ctx: TfheContext, bk2: BootKey2, bk_stream,
 
 
 def bootstrap_fused2(ctx: TfheContext, bk2: BootKey2, ct: Ciphertext,
-                     tile: int = 8, interpret: bool = False) -> Ciphertext:
+                     tile=None, interpret: bool = False) -> Ciphertext:
     """Key-unrolled gate bootstrap: n/2-step CMux chain over TGSW triples in
     one fused Pallas kernel (see BootKey2 / ops/tfhe_kernel._make_kernel2)."""
+    tile = _pick_tile(ct.a.shape[0], tile)
     tabs = _fused_tabs(ctx, tile)
     bk_stream = _fused_key_stream(bk2.bk2, tile, unrolled=True)
     return _bootstrap_fused2_core(ctx, bk2, bk_stream, ct, tabs, tile=tile,
@@ -705,6 +749,11 @@ def set_bootstrap_impl(impl: str) -> None:
 
 def _bootstrap(ctx, bk, ct: Ciphertext) -> Ciphertext:
     on_cpu = jax.default_backend() == "cpu"
+    if isinstance(bk, FusedKey):
+        # pre-compiled key: fully traceable (works inside callers' jit)
+        core = _bootstrap_fused2_core if bk.unrolled else _bootstrap_fused_core
+        return core(ctx, bk, bk.stream, ct, bk.tabs, tile=bk.tile,
+                    interpret=on_cpu)
     if isinstance(bk, BootKey2):
         # key-unrolled chain exists only as the fused kernel; on CPU run it
         # through the Pallas interpreter (tests), on TPU compiled

@@ -6,7 +6,8 @@ Capability match for the reference's advertised huint types
 benchmark; the types are built from the §2.5 gate set).  TPU-first redesign:
 
   * Kogge-Stone parallel-prefix carry computation instead of a ripple chain:
-    depth 2 + 2*ceil(log2(W)) bootstrap *rounds* for W-bit addition, where
+    depth 2 + ceil(log2(W)) bootstrap *rounds* for W-bit addition (each
+    prefix level is ONE 3-input carry-gate round, see _pre_carry), where
     every round is ONE batched blind rotation over up to 2W gates.  This
     works because every 2-input TFHE gate is (linear pre-comp -> shared
     bootstrap): heterogeneous gate mixes concatenate into a single
@@ -22,10 +23,12 @@ Carry semantics: add/sub return (result, carry/borrow ciphertext).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import tfhe
@@ -34,10 +37,13 @@ U32 = jnp.uint32
 MU = tfhe.MU
 
 
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["bits"], meta_fields=["width", "count"])
 @dataclasses.dataclass(frozen=True)
 class HUint:
     """count integers of `width` bits each; bits ct batch is (count*width,),
-    LSB-first within each integer."""
+    LSB-first within each integer.  A pytree: with a tfhe.FusedKey, whole
+    integer circuits jit end-to-end (e.g. jax.jit(add)(ctx, fk, x, y))."""
     bits: tfhe.Ciphertext
     width: int
     count: int
@@ -78,6 +84,24 @@ def _pre_xor(c1, c2):
     two = jnp.uint32(2)
     return tfhe.Ciphertext(two * (c1.a + c2.a), two * (c1.b + c2.b) + two * MU,
                            variance=4 * (c1.variance + c2.variance))
+
+
+def _pre_carry(g, p, gs):
+    """3-input carry-combine gate: g OR (p AND gs) in ONE bootstrap, valid
+    under the Kogge-Stone invariant g AND p = 0 (true for (g,p) = (a AND b,
+    a XOR b) and preserved by the combine).  Phase = 2g + p + gs + mu:
+    reachable cases give ±1/8 margins with no torus wraparound ((1,1,*) is
+    unreachable, so the max phase is 3/8).  Variance: 4Vg + Vp + Vgs."""
+    two = jnp.uint32(2)
+    return tfhe.Ciphertext(two * g.a + p.a + gs.a,
+                           two * g.b + p.b + gs.b + MU,
+                           variance=4 * g.variance + p.variance + gs.variance)
+
+
+def _carry_margin_bits(variance: float) -> float:
+    """log2(mu / 4 sigma) of the carry gate's pre-bootstrap phase noise."""
+    sigma = max(math.sqrt(variance), 1e-30)
+    return math.log2((1.0 / 8.0) / (4.0 * sigma))
 
 
 def encrypt_huint(ctx, sk, values, width: int, key) -> HUint:
@@ -126,8 +150,8 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
               carry_in: Optional[tfhe.Ciphertext] = None):
     """Kogge-Stone addition on bit ciphertexts.  Returns (sum bits, carry out).
 
-    Rounds: 1 (g,p) + 2*ceil(log2(width(+1))) (prefix) + 1 (sum) batched
-    bootstraps."""
+    Rounds: 1 (g,p) + ceil(log2(width)) (prefix, one carry-gate round per
+    level) + 1 (sum) batched bootstraps; +1 with a carry-in."""
     B = count * width
     # round 1: g = a AND b, p = a XOR b — one fused bootstrap
     pre = _cat(_pre_and(xbits, ybits), _pre_xor(xbits, ybits))
@@ -135,33 +159,48 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
     g, p = _slc(gp, 0, B), _slc(gp, B, 2 * B)
     p_orig = p  # the sum bits need a XOR b after the prefix consumes p
 
-    # incorporate carry-in as a virtual position -1 by OR-ing it into g_0
-    # via (g0', p0') = (g0 OR (p0 AND cin), p0): one extra combine round
+    # incorporate carry-in as a virtual position -1 by OR-ing it into g_0:
+    # (g0', p0') = (g0 OR (p0 AND cin), p0) — the 3-input carry gate does it
+    # in ONE round when the noise budget allows, else two 2-input rounds
     if carry_in is not None:
         cin = carry_in  # (count,) batch
         p0 = tfhe.Ciphertext(p.a.reshape(count, width, -1)[:, 0],
                              p.b.reshape(count, width)[:, 0],
                              variance=p.variance)
-        t = tfhe._bootstrap(ctx, bk, _pre_and(p0, cin))
         g0 = tfhe.Ciphertext(g.a.reshape(count, width, -1)[:, 0],
                              g.b.reshape(count, width)[:, 0],
                              variance=g.variance)
-        g0n = tfhe._bootstrap(ctx, bk, _pre_or(g0, t))
+        pre0 = _pre_carry(g0, p0, cin)
+        if _carry_margin_bits(pre0.variance) >= 1.0:
+            g0n = tfhe._bootstrap(ctx, bk, pre0)
+        else:
+            t = tfhe._bootstrap(ctx, bk, _pre_and(p0, cin))
+            g0n = tfhe._bootstrap(ctx, bk, _pre_or(g0, t))
         ga = g.a.reshape(count, width, -1).at[:, 0].set(g0n.a)
         gb = g.b.reshape(count, width).at[:, 0].set(g0n.b)
         g = tfhe.Ciphertext(ga.reshape(g.a.shape), gb.reshape(g.b.shape),
                             variance=max(g.variance, g0n.variance))
 
-    # Kogge-Stone prefix: after the loop, g[i] = carry OUT of position i
+    # Kogge-Stone prefix: after the loop, g[i] = carry OUT of position i.
+    # Each level is ONE batched bootstrap: the combine g' = g OR (p AND gs)
+    # is the 3-input carry gate, evaluated alongside p' = p AND ps in the
+    # same blind-rotation call (gates differ only in their linear pre-comp).
+    # Falls back to the two-round form if the tracked variance leaves the
+    # carry gate's 2x-weighted phase short of margin (e.g. unrolled keys).
     offset = 1
     while offset < width:
         gs, ps = _shift_gp(g, p, count, width, offset)
-        # t1 = p AND g_shifted ; t2 = p AND p_shifted  (one bootstrap)
-        pre = _cat(_pre_and(p, gs), _pre_and(p, ps))
-        t = tfhe._bootstrap(ctx, bk, pre)
-        t1, t2 = _slc(t, 0, B), _slc(t, B, 2 * B)
-        g = tfhe._bootstrap(ctx, bk, _pre_or(g, t1))
-        p = t2
+        pre_c = _pre_carry(g, p, gs)
+        if _carry_margin_bits(pre_c.variance) >= 1.0:
+            t = tfhe._bootstrap(ctx, bk, _cat(pre_c, _pre_and(p, ps)))
+            g, p = _slc(t, 0, B), _slc(t, B, 2 * B)
+        else:
+            # t1 = p AND g_shifted ; t2 = p AND p_shifted  (one bootstrap)
+            pre = _cat(_pre_and(p, gs), _pre_and(p, ps))
+            t = tfhe._bootstrap(ctx, bk, pre)
+            t1, t2 = _slc(t, 0, B), _slc(t, B, 2 * B)
+            g = tfhe._bootstrap(ctx, bk, _pre_or(g, t1))
+            p = t2
         offset *= 2
 
     # carries into each position: c_i = g[i-1] (c_0 = carry_in handled above)
@@ -205,8 +244,10 @@ def sub(ctx, bk, x: HUint, y: HUint) -> Tuple[HUint, tfhe.Ciphertext]:
 
 
 def bootstrap_rounds(width: int) -> int:
-    """Number of batched blind-rotation rounds one addition costs."""
-    return 2 + 2 * max(1, math.ceil(math.log2(width))) + 1
+    """Number of batched blind-rotation rounds one addition costs on the
+    fast path (fresh standard-key inputs: each Kogge-Stone prefix level is
+    one 3-input-carry-gate round)."""
+    return 1 + max(1, math.ceil(math.log2(width))) + 1
 
 
 def ge(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:

@@ -99,7 +99,9 @@ def unprep_acc(x, B: int, Bt: int):
 
 def prep_a(a_t, Bt: int, two_n: int):
     """(B, n) rotation amounts -> (progs*n, W) int32, each step row holding
-    its batch element's amount broadcast across that element's lanes."""
+    its batch element's amount broadcast across that element's lanes.
+    (int16 would halve the block, but Mosaic requires dynamic sublane
+    indices into 16-bit memrefs to be 16-aligned — per-step rows aren't.)"""
     B, n = a_t.shape
     progs = B // Bt
     a = (a_t.astype(jnp.int32) % two_n).reshape(progs, Bt, n)
@@ -193,14 +195,16 @@ def prep_tables(ctx, Bt: int = 8):
                               (N2, L, Bt, P, N1)).reshape(N2, W)
         return jnp.asarray(np.ascontiguousarray(out))
 
-    # omega digit tables (radix-4): row block (g*4 + c)*32 .. +32 holds the
-    # NTT-domain mont monomial table for digit value c of radix-4 group g
+    # omega digit tables (radix-4): row block (g*3 + c-1)*32 .. +32 holds the
+    # NTT-domain mont monomial table for digit value c in {1,2,3} of radix-4
+    # group g; c=0 is mont(X^0) = r1_lane, so its 6 tables aren't stored
     om = np.asarray(ctx.omega_bits).reshape(6, 4, L, N1, N2)
-    om_rows = np.zeros((6 * 4 * N1, W), np.uint32)
+    om_rows = np.zeros((6 * 3 * N1, W), np.uint32)
     for g in range(6):
-        for c in range(4):
+        for c in (1, 2, 3):
             blk = np.transpose(om[g, c], (1, 0, 2))   # (q2, l, q1)
-            om_rows[(g * 4 + c) * N1:(g * 4 + c + 1) * N1] = np.broadcast_to(
+            r = (g * 3 + c - 1) * N1
+            om_rows[r:r + N1] = np.broadcast_to(
                 blk[:, :, None, None, :], (N1, L, Bt, P, N2)).reshape(N1, W)
 
     scal = np.zeros((16,), np.uint32)
@@ -385,15 +389,14 @@ def _chain_ops(W, scal_ref, tables):
 
     def omega_of(a_row):
         """a_row (1, W) int32 in [0, 2N) -> mont NTT-domain X^a (32, W),
-        product of 6 radix-4 digit-selected tables."""
+        product of 6 radix-4 digit-selected tables (c=0 digit = mont(1))."""
         w = None
         for g in range(6):
             dig = (a_row >> (2 * g)) & 3
-            t0 = omega[pl.ds((g * 4 + 0) * N1, N1), :]
-            t1 = omega[pl.ds((g * 4 + 1) * N1, N1), :]
-            t2 = omega[pl.ds((g * 4 + 2) * N1, N1), :]
-            t3 = omega[pl.ds((g * 4 + 3) * N1, N1), :]
-            sel = jnp.where(dig == 1, t1, t0)
+            t1 = omega[pl.ds((g * 3 + 0) * N1, N1), :]
+            t2 = omega[pl.ds((g * 3 + 1) * N1, N1), :]
+            t3 = omega[pl.ds((g * 3 + 2) * N1, N1), :]
+            sel = jnp.where(dig == 1, t1, r1_lane)
             sel = jnp.where(dig == 2, t2, sel)
             sel = jnp.where(dig == 3, t3, sel)
             w = sel if w is None else mm.mont_mul(w, sel, p_lane, pinv_lane)
