@@ -171,6 +171,14 @@ def _inv_kernel(log1, log2, x_ref, p_ref, itwm_ref, itwm_sh_ref, *refs):
     o_ref[0] = jnp.where(y >= p, y - p, y)   # deferred reduction (exact)
 
 
+# XLA stack-allocates the pallas_call result in scoped VMEM (double-buffered
+# windows), so one call's output must stay under ~half the 16 MiB scoped
+# limit; larger transforms are split over batch rows (or, for a single wide
+# poly set, over limbs).  Hit in practice at N=2^16 with the 31-limb
+# bootstrapping QP basis (62 rows = 16.3 MB output -> 32.5 MB scoped OOM).
+_MAX_OUT_BYTES = 7 << 20
+
+
 @functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
 def ntt_pallas(x, tb: nttm.NttTables, inverse: bool = False,
                interpret: bool = False):
@@ -184,6 +192,20 @@ def ntt_pallas(x, tb: nttm.NttTables, inverse: bool = False,
     for d in lead:
         rows *= d
     B = rows // L          # lead always ends with the L axis
+
+    max_rows = max(1, _MAX_OUT_BYTES // (n * 4))
+    if rows > max_rows and not interpret:
+        x2 = x.reshape((B, L, n))
+        if B > 1:
+            bc = max(1, max_rows // L)
+            outs = [ntt_pallas(x2[i:i + bc], tb, inverse, interpret)
+                    for i in range(0, B, bc)]
+            return jnp.concatenate(outs, axis=0).reshape(lead + (n,))
+        outs = [ntt_pallas(x2[:, lo:min(lo + max_rows, L)],
+                           tb.slice_limbs(lo, min(lo + max_rows, L)),
+                           inverse, interpret)
+                for lo in range(0, L, max_rows)]
+        return jnp.concatenate(outs, axis=1).reshape(lead + (n,))
 
     if inverse:
         kern = functools.partial(_inv_kernel, log1, log2)
