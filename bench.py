@@ -63,12 +63,16 @@ def main():
     out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
     out.block_until_ready()
 
-    reps = 2 if small else 5
-    t0 = time.perf_counter()
+    # best-of-reps: each rep is already a K-op chain average; the min
+    # excludes tunnel/host interference jitter (~±2% run to run)
+    reps = 2 if small else 8
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / (reps * K)
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / K)
+    dt = best
     ops_s = 1.0 / dt
 
     if "--roofline" in sys.argv:

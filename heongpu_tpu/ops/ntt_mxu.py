@@ -174,8 +174,12 @@ def _recombine(t, tb: nttm.NttTables, mx: MxuTables):
     hi, lo = mm.add64(hi, lo, jnp.zeros_like(u0), u0)
     shp = (-1,) + (1,) * 2          # limb constants broadcast under (L, S, W)
     p = tb.p.reshape(shp)
-    r = mm.reduce64(hi, lo, p, tb.mu.reshape(shp), tb.r1.reshape(shp),
-                    tb.r1_sh.reshape(shp))
+    # hi < 2^19 (each plane < 2^26 before its shift) < p, so the generic
+    # reduce64's Barrett pre-reduction of hi is redundant: fold hi directly
+    # through r1 = 2^32 mod p and Barrett only the low word.
+    r = mm.add_mod(mm.shoup_mul(hi, tb.r1.reshape(shp),
+                                tb.r1_sh.reshape(shp), p),
+                   mm.barrett32(lo, p, tb.mu.reshape(shp)), p)
     return mm.sub_mod(r, mx.coff.reshape(shp), p)
 
 

@@ -53,9 +53,9 @@ def test_huint16_roundtrip_and_rounds(setup):
     hx = tfhe_int.encrypt_huint(ctx, sk, xs, 16, rng.new_key(47))
     np.testing.assert_array_equal(
         tfhe_int.decrypt_huint(ctx, sk, hx).astype(np.int64), xs)
-    # round count formula: 2 + 2*log2(W) + 1
-    assert tfhe_int.bootstrap_rounds(8) == 9
-    assert tfhe_int.bootstrap_rounds(256) == 19
+    # round count formula (carry-gate prefix): 1 + log2(W) + 1
+    assert tfhe_int.bootstrap_rounds(8) == 5
+    assert tfhe_int.bootstrap_rounds(256) == 10
 
 
 def test_variance_tracking(setup):
