@@ -63,16 +63,15 @@ def main():
     out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
     out.block_until_ready()
 
-    # best-of-reps: each rep is already a K-op chain average; the min
-    # excludes tunnel/host interference jitter (~±2% run to run)
+    # steady-state throughput: issue all reps back-to-back and block once —
+    # a per-rep block_until_ready would charge a full tunnel roundtrip
+    # (~20 ms) to every rep and halve the apparent rate
     reps = 2 if small else 8
-    best = float("inf")
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
         out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
-        out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / K)
-    dt = best
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / (reps * K)
     ops_s = 1.0 / dt
 
     if "--roofline" in sys.argv:

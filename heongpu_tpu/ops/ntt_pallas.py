@@ -171,12 +171,16 @@ def _inv_kernel(log1, log2, x_ref, p_ref, itwm_ref, itwm_sh_ref, *refs):
     o_ref[0] = jnp.where(y >= p, y - p, y)   # deferred reduction (exact)
 
 
-# XLA stack-allocates the pallas_call result in scoped VMEM (double-buffered
-# windows), so one call's output must stay under ~half the 16 MiB scoped
-# limit; larger transforms are split over batch rows (or, for a single wide
-# poly set, over limbs).  Hit in practice at N=2^16 with the 31-limb
-# bootstrapping QP basis (62 rows = 16.3 MB output -> 32.5 MB scoped OOM).
-_MAX_OUT_BYTES = 7 << 20
+# When XLA stack-allocates BOTH the pallas_call input and result in scoped
+# VMEM (it does when they are short-lived edges between fused ops), the call
+# must keep in+out under the 16 MiB scoped limit.  Hit in practice at N=2^16
+# with the 31-limb bootstrapping QP basis (62 rows: 16.3 MB in + 16.3 MB out
+# -> 32.5 MB scoped OOM); the flagship's 48-row keyswitch transforms
+# (12.3 MB) compile unsplit and MUST stay unsplit (splitting them measured
+# 490 -> 247 ops/s).  So: only split calls past _SPLIT_TRIGGER, into chunks
+# whose in+out fits comfortably.
+_SPLIT_TRIGGER = 14 << 20   # bytes of output above which we split
+_CHUNK_BYTES = 7 << 20      # target output bytes per split piece
 
 
 @functools.partial(jax.jit, static_argnames=("inverse", "interpret"))
@@ -193,8 +197,8 @@ def ntt_pallas(x, tb: nttm.NttTables, inverse: bool = False,
         rows *= d
     B = rows // L          # lead always ends with the L axis
 
-    max_rows = max(1, _MAX_OUT_BYTES // (n * 4))
-    if rows > max_rows and not interpret:
+    if rows * n * 4 > _SPLIT_TRIGGER and not interpret:
+        max_rows = max(1, _CHUNK_BYTES // (n * 4))
         x2 = x.reshape((B, L, n))
         if B > 1:
             bc = max(1, max_rows // L)
