@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--piece-depth", type=int, default=1, dest="piece_depth",
                     help="levels per CtoS/StoC piece (=base_count for the "
                     "composite-scale precision mode)")
+    ap.add_argument("--compress-keys", action="store_true",
+                    dest="compress_keys",
+                    help="seed-expanded Galois/relin keys (k1 regenerated "
+                    "on device per use; halves key-set HBM)")
     ap.add_argument("--debug", action="store_true",
                     help="decrypt between phases (regular only)")
     ap.add_argument("--phased", action="store_true",
@@ -84,7 +88,8 @@ def main():
            f"_s{args.squarings}_hw{args.hw}_a{args.alpha}"
            f"_pc{args.p_count}_bc{args.base_count}"
            + (f"_as{args.arcsin}" if args.arcsin else "")
-           + (f"_pd{args.piece_depth}" if args.piece_depth > 1 else ""))
+           + (f"_pd{args.piece_depth}" if args.piece_depth > 1 else "")
+           + ("_ck" if args.compress_keys else ""))
     cache_file = os.path.join(cache_dir, tag + ".bin")
     if args.variant == "regular":
         entry = ckks_boot.regular_bootstrap
@@ -104,19 +109,26 @@ def main():
                                        base_count=args.base_count,
                                        arcsin_order=args.arcsin,
                                        piece_depth=args.piece_depth)
-            keys = ckks_boot.generate_bootstrap_keys(ctx, rng.new_key(63), sk,
-                                                     cfg)
+            keys = ckks_boot.generate_bootstrap_keys(
+                ctx, rng.new_key(63), sk, cfg,
+                compress_keys=args.compress_keys)
         else:
             cfg = ckks_boot_ext.BootConfigV2(cos_degree=24, double_angles=5,
                                              K=12, ctos_pieces=args.pieces,
                                              stoc_pieces=args.pieces)
             keys = ckks_boot_ext.generate_bootstrap_keys_v2(
                 ctx, rng.new_key(63), sk, cfg, variant=args.variant,
-                msg_scale=2.0 ** 22 if args.variant == "slim" else None)
+                msg_scale=2.0 ** 22 if args.variant == "slim" else None,
+                compress_keys=args.compress_keys)
         print(f"boot keys: {time.time()-t0:.1f} s", flush=True)
         t0 = time.time()
         serializer.save_to_file(keys, cache_file, level=1)
         print(f"boot keys cached: {time.time()-t0:.1f} s", flush=True)
+    nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(keys)
+                 if hasattr(x, "nbytes"))
+    print(f"boot key set resident: {nbytes / 2**30:.2f} GiB"
+          + (" (seed-expanded)" if args.compress_keys else ""), flush=True)
+
     if args.variant != "regular":
         drop_to = keys.stoc_pieces[0].level
 

@@ -659,10 +659,16 @@ def _ks_dispatch(ctx: BfvContext, poly_q, k0, k1):
                                   ctx.ntt_qp, ctx.div_p, False, False)
 
 
+
+def _k1_of(ctx, kk):
+    """Uniform key half, regenerated on device when the key is stored
+    stripped (seed-expanded, k1=None) — see ringkit.ensure_k1."""
+    return ringkit.ensure_k1(_ring(ctx), kk)
+
 @jax.jit
 def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
     errors.check_size(ct.size, 3, "relinearize")
-    d0, d1 = _ks_dispatch(ctx, ct.c[2], rk.k0, rk.k1)
+    d0, d1 = _ks_dispatch(ctx, ct.c[2], rk.k0, _k1_of(ctx, rk))
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p),
                                  mm.add_mod(ct.c[1], d1, p)]), 2, False)
@@ -674,7 +680,7 @@ def apply_galois(ctx: BfvContext, ct: Ciphertext, gk1: GaloisKeyOne) -> Cipherte
     p = ctx.base_q.p[:, None]
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(ct.c[1], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
-    d0, d1 = _ks_dispatch(ctx, g1, gk1.k0, gk1.k1)
+    d0, d1 = _ks_dispatch(ctx, g1, gk1.k0, _k1_of(ctx, gk1))
     return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), 2, False)
 
 
@@ -710,7 +716,7 @@ def rotate_columns(ctx: BfvContext, ct: Ciphertext, gk: GaloisKey) -> Ciphertext
 def switch_key(ctx: BfvContext, ct: Ciphertext, swk: RelinKey) -> Ciphertext:
     """Re-encrypt a size-2 ct from old key to new key (swk encrypts s_old)."""
     errors.check_size(ct.size, 2, "switch_key")
-    d0, d1 = _ks_dispatch(ctx, ct.c[1], swk.k0, swk.k1)
+    d0, d1 = _ks_dispatch(ctx, ct.c[1], swk.k0, _k1_of(ctx, swk))
     p = ctx.base_q.p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(ct.c[0], d0, p), d1]), 2, False)
 
@@ -778,15 +784,16 @@ def rotate_rows_hoisted(ctx: BfvContext, ct: Ciphertext, d_ntt,
     per-limb negation absorbed by the permutation table)."""
     p = ctx.base_q.p[:, None]
     dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
+    gk1_k1 = _k1_of(ctx, gk1)
     if ctx.ks_type == "II":
         acc0 = rns.lazy_mac_mont(dp, gk1.k0, ctx.base_qp)
-        acc1 = rns.lazy_mac_mont(dp, gk1.k1, ctx.base_qp)
+        acc1 = rns.lazy_mac_mont(dp, gk1_k1, ctx.base_qp)
         coeff = nttm.ntt_inv(jnp.stack([acc0, acc1]), ctx.ntt_qp)
         for stage in ctx.ks2[0].div_stages:
             coeff = stage(coeff)
         out = coeff
     else:
-        acc0, acc1 = ringkit.hoisted_mac(dp, gk1.k0, gk1.k1, ctx.base_qp)
+        acc0, acc1 = ringkit.hoisted_mac(dp, gk1.k0, gk1_k1, ctx.base_qp)
         out = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp,
                                 ctx.div_p, out_ntt=False)
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src,

@@ -521,7 +521,7 @@ def _slice_key(ctx, k_arr, level):
 
 def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:
     errors.check_size(a.size, 3, "relinearize")
-    d0, d1 = _ks(ctx, a.c[2], rk.k0, rk.k1, a.level)
+    d0, d1 = _ks(ctx, a.c[2], rk.k0, ringkit.ensure_k1(_ring(ctx), rk), a.level)
     p = ctx.base_q_at(a.level).p[:, None]
     return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p),
                                  mm.add_mod(a.c[1], d1, p)]), 2, a.level,
@@ -546,7 +546,7 @@ def apply_galois(ctx, a: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
                                     gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(a.c[1], gk1.perm_coeff_src,
                                     gk1.perm_coeff_neg, p)
-    d0, d1 = _ks(ctx, g1, gk1.k0, gk1.k1, a.level)
+    d0, d1 = _ks(ctx, g1, gk1.k0, ringkit.ensure_k1(_ring(ctx), gk1), a.level)
     return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), 2, a.level,
                       a.factor)
 

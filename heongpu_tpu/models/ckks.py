@@ -257,9 +257,10 @@ def keygen_relin(ctx, key, sk, a_seed=None):
 
 
 def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8,
-                  elts=None, a_seed=None):
+                  elts=None, a_seed=None, store_a: bool = True):
     return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 groups=_groups(ctx), elts=elts, a_seed=a_seed)
+                                 groups=_groups(ctx), elts=elts, a_seed=a_seed,
+                                 store_a=store_a)
 
 
 def keygen_switch(ctx, key, sk_old, sk_new):
@@ -337,12 +338,17 @@ def _slots_from_embed_coeffs(ctx: CkksContext, a: np.ndarray) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _sfft_tabs(n: int) -> sfft.SfftTables:
-    return sfft.build_tables(n)
+    # ensure_compile_time_eval: these builders may first run under an active
+    # jit trace (encode inside a jitted pipeline); without it the cached
+    # tables would hold tracers from that trace and poison later retraces.
+    with jax.ensure_compile_time_eval():
+        return sfft.build_tables(n)
 
 
 @lru_cache(maxsize=None)
 def _compose_tabs(primes: tuple) -> compose.SmallComposeTables:
-    return compose.build_tables(list(primes))
+    with jax.ensure_compile_time_eval():
+        return compose.build_tables(list(primes))
 
 
 @partial(jax.jit, static_argnames=("primes", "wide"))
@@ -743,9 +749,15 @@ def _slice_key2(ctx, k_arr, ka: int, d_lvl: int):
     return jnp.concatenate([k_arr[:d_lvl, :ka], k_arr[:d_lvl, ctx.k:]], axis=1)
 
 
+def _k1_of(ctx, kk):
+    """Uniform key half, regenerated on device when the key is stored
+    stripped (seed-expanded, k1=None) — see ringkit.ensure_k1."""
+    return ringkit.ensure_k1(_ring(ctx), kk)
+
+
 def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:
     errors.check_size(a.size, 3, "relinearize")
-    d0, d1 = _keyswitch_poly(ctx, a.c[2], rk.k0, rk.k1, a.level)
+    d0, d1 = _keyswitch_poly(ctx, a.c[2], rk.k0, _k1_of(ctx, rk), a.level)
     p = _p_at(ctx, a.level)
     return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p),
                                  mm.add_mod(a.c[1], d1, p)]),
@@ -757,7 +769,7 @@ def apply_galois(ctx, a: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
     p = _p_at(ctx, a.level)
     g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
     g1 = polyops.apply_galois_ntt(a.c[1], gk1.perm_ntt)
-    d0, d1 = _keyswitch_poly(ctx, g1, gk1.k0, gk1.k1, a.level)
+    d0, d1 = _keyswitch_poly(ctx, g1, gk1.k0, _k1_of(ctx, gk1), a.level)
     return Ciphertext(jnp.stack([mm.add_mod(g0, d0, p), d1]), 2, a.level, a.scale)
 
 
@@ -791,7 +803,7 @@ def conjugate(ctx, a: Ciphertext, gk: GaloisKey) -> Ciphertext:
 
 def switch_key(ctx, a: Ciphertext, swk: KSKey) -> Ciphertext:
     errors.check_size(a.size, 2, "switch_key")
-    d0, d1 = _keyswitch_poly(ctx, a.c[1], swk.k0, swk.k1, a.level)
+    d0, d1 = _keyswitch_poly(ctx, a.c[1], swk.k0, _k1_of(ctx, swk), a.level)
     p = _p_at(ctx, a.level)
     return Ciphertext(jnp.stack([mm.add_mod(a.c[0], d0, p), d1]), 2, a.level, a.scale)
 
@@ -804,12 +816,13 @@ def switch_key(ctx, a: Ciphertext, swk: KSKey) -> Ciphertext:
 def _hoist_key_slices(ctx, gk1, lvl):
     """Level-sliced key pair for either keyswitching method."""
     ka = ctx.active(lvl)
+    k1 = _k1_of(ctx, gk1)
     if ctx.ks_type == "II":
         d_lvl = -(-ka // ctx.alpha)
         return (_slice_key2(ctx, gk1.k0, ka, d_lvl),
-                _slice_key2(ctx, gk1.k1, ka, d_lvl))
+                _slice_key2(ctx, k1, ka, d_lvl))
     return (ringkit.slice_key_level(gk1.k0, ka, ctx.k),
-            ringkit.slice_key_level(gk1.k1, ka, ctx.k))
+            ringkit.slice_key_level(k1, ka, ctx.k))
 
 
 def hoist(ctx, a: Ciphertext):

@@ -322,12 +322,29 @@ def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
                  depth=depth)
 
 
+def _compress_seed(key) -> int:
+    """Deterministic public seed for seed-expanded key sets, derived from the
+    keygen PRNG key (a DRBG draws it from its own stream)."""
+    if rng.is_drbg(key):
+        return int(key.bits64(1)[0] >> 33)
+    return int(jax.random.randint(rng.fold_in(key, 0x5eed), (),
+                                  0, 2 ** 31 - 1, dtype=jnp.int32))
+
+
 def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
                             cfg: BootConfig = None,
-                            msg_scale: float = None) -> BootKeys:
+                            msg_scale: float = None,
+                            compress_keys: bool = False) -> BootKeys:
     """Rotation/conj/relin keys + factored-DFT plaintext tables with the
     EvalMod constants folded in (reference Vandermonde builder + galois
-    key-index generation, operator.cu:5594-6580)."""
+    key-index generation, operator.cu:5594-6580).
+
+    compress_keys=True stores the Galois/relin keys seed-expanded (uniform
+    halves dropped, regenerated on device per use): halves the resident HBM
+    of the key set, which is what bounds the deep-chain N=2^16 precision
+    config on a 16 GB chip (reference common-seed key storage,
+    host/bfv/publickey.cuh:324, applied at eval time rather than only for
+    serialization)."""
     cfg = cfg or BootConfig()
     if msg_scale is None:
         # composite base needs a composite scale (see BootConfig.base_count)
@@ -380,8 +397,15 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
             steps.update(b for b in babies if b)
             if g:
                 steps.add(g)
-    gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
-    rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
+    if compress_keys:
+        seed0 = _compress_seed(key)
+        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps),
+                                a_seed=seed0, store_a=False)
+        rk = ringkit.strip_seeded(ckks.keygen_relin(
+            ctx, rng.fold_in(key, 1), sk, a_seed=seed0 + (1 << 20)))
+    else:
+        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
+        rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
     return BootKeys(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
                     ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
                     mult_i=ckks.monomial_mult_tables(ctx, n // 2),

@@ -112,7 +112,8 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
                                variant: str = "regular",
                                msg_scale: Optional[float] = None,
                                sparse_hw: Optional[int] = None,
-                               less_key_mode: bool = False) -> BootKeysV2:
+                               less_key_mode: bool = False,
+                               compress_keys: bool = False) -> BootKeysV2:
     """Key + matrix generation for the v2 family.  Piece placement:
       regular: CtoS at levels 0..p1-1, StoC after EvalMod.
       slim/bit/gate: StoC at the chain tail (ending at the last limb), CtoS
@@ -171,8 +172,15 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
         while j < half:
             steps.add(j)
             j *= 2
-    gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
-    rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
+    if compress_keys:
+        seed0 = ckks_boot._compress_seed(key)
+        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps),
+                                a_seed=seed0, store_a=False)
+        rk = ringkit.strip_seeded(ckks.keygen_relin(
+            ctx, rng.fold_in(key, 1), sk, a_seed=seed0 + (1 << 20)))
+    else:
+        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
+        rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
     swk_to_sparse = swk_to_dense = None
     if sparse_hw is not None:
         k_sp = rng.fold_in(key, 2)

@@ -247,11 +247,19 @@ def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
                   max_shift: int = 8, include_conj: bool = True,
                   groups=None, elts=None,
                   a_seed: Optional[int] = None,
-                  noise_scale: int = 1) -> GaloisKey:
+                  noise_scale: int = 1, store_a: bool = True) -> GaloisKey:
     """Default: powers-of-two step chain ±2^0..±2^(max_shift-1) like the
     reference (evaluationkey.cu:316-341); `steps` gives a custom rotation
     list, `elts` gives raw Galois elements directly (reference custom-elt
-    constructor, evaluationkey.cuh:366-390)."""
+    constructor, evaluationkey.cuh:366-390).
+
+    store_a=False (requires a_seed): strip the regenerable uniform half of
+    each key as it is generated, so neither the final bundle nor the keygen
+    peak ever holds k1 — halves resident HBM for large rotation key sets
+    (the N=2^16 deep-chain bootstrap set exceeds one chip's HBM otherwise);
+    consumers regenerate k1 from a_seed per use (ensure_k1)."""
+    if not store_a and a_seed is None:
+        raise ValueError("store_a=False requires a_seed (seed-expanded keys)")
     n = ring.n
     if steps is None and elts is None:
         steps = []
@@ -263,15 +271,17 @@ def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
     subkeys = rng.split(key, len(gl) + 1)
     for i, (sk_i, g) in enumerate(zip(subkeys[:-1], gl)):
         if g not in keys:
-            keys[g] = keygen_galois_one(
+            kk = keygen_galois_one(
                 ring, sk_i, sk, g, groups=groups,
                 a_seed=None if a_seed is None else a_seed + i,
                 noise_scale=noise_scale)
+            keys[g] = kk if store_a else strip_seeded(kk)
     if include_conj:
-        keys["conj"] = keygen_galois_one(
+        kk = keygen_galois_one(
             ring, subkeys[-1], sk, 2 * n - 1, groups=groups,
             a_seed=None if a_seed is None else a_seed + len(gl),
             noise_scale=noise_scale)
+        keys["conj"] = kk if store_a else strip_seeded(kk)
     return GaloisKey(keys)
 
 
@@ -358,6 +368,18 @@ def strip_seeded(obj):
     if isinstance(obj, GaloisKey):
         return GaloisKey({k: strip_seeded(v) for k, v in obj.keys.items()})
     return obj
+
+
+def ensure_k1(ring: RingView, kk):
+    """k1 of a KSKey/GaloisKeyOne, regenerated on device from a_seed when the
+    key is stored stripped (k1=None).  Traceable — under jit the regeneration
+    compiles into the consuming keyswitch, so a stripped key set halves
+    resident HBM at the cost of one uniform+to_mont pass per key use."""
+    if kk.k1 is not None:
+        return kk.k1
+    if kk.a_seed is None:
+        raise ValueError("key has no stored k1 and no a_seed to regenerate it")
+    return _regen_a(ring, kk.a_seed, int(kk.k0.shape[0]))
 
 
 def expand_seeded(obj, ring: RingView):
