@@ -63,15 +63,28 @@ def main():
     out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
     out.block_until_ready()
 
-    # steady-state throughput: issue all reps back-to-back and block once —
-    # a per-rep block_until_ready would charge a full tunnel roundtrip
-    # (~20 ms) to every rep and halve the apparent rate
-    reps = 2 if small else 8
+    # Timing protocol: the tunnel's block_until_ready can return before
+    # device execution finishes (measured: a 10-pass 327 MB chain "timed"
+    # at an impossible 118 TB/s), so (a) each rep feeds its output back as
+    # the next input — reps serialize on the device by data dependency —
+    # and (b) the only trusted sync is a host readback of a few lanes.
+    # The fixed costs (dispatch, readback RTT ~30 ms) cancel in the delta
+    # between a short and a long run of the same compiled chain.
+    def run(reps):
+        out = ct1.c
+        for _ in range(reps):
+            out = chain(out, ct2.c, rk.k0, rk.k1)
+        np.asarray(jax.device_get(out[0, 0, :8]))
+
+    r1, r2 = (1, 3) if small else (2, 10)
+    run(r1)  # second warmup incl. the readback path
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = chain(ct1.c, ct2.c, rk.k0, rk.k1)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / (reps * K)
+    run(r1)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(r2)
+    t_long = time.perf_counter() - t0
+    dt = (t_long - t_short) / ((r2 - r1) * K)
     ops_s = 1.0 / dt
 
     if "--roofline" in sys.argv:

@@ -212,14 +212,25 @@ def main():
         out = f_stoc(s0v_, s1v_, keys)
         jax.block_until_ready(out.c)
         print(f"phase StoC compile+run: {time.time()-t0:.1f} s", flush=True)
-        # per-phase steady-state latencies
+        # per-phase steady-state latencies.  The tunnel's block_until_ready
+        # can return before execution finishes; the only trusted sync is a
+        # host readback, whose ~30 ms RTT is subtracted via a null baseline.
+        def _sync(o):
+            c = o[0].c if isinstance(o, tuple) else o.c
+            np.asarray(jax.device_get(c[0, 0, :8]))
+        f_null = jax.jit(lambda c_: c_ + jnp.uint32(0))
+        _sync(ckks.Ciphertext(f_null(ct.c), 2, ct.level, ct.scale))
+        t0 = time.time()
+        _sync(ckks.Ciphertext(f_null(ct.c), 2, ct.level, ct.scale))
+        rtt = time.time() - t0
         for name, fn in (("ctos", lambda: f_ctos(ct, keys)),
                          ("evalmod", lambda: f_mod(t0v_, keys)),
                          ("stoc", lambda: f_stoc(s0v_, s1v_, keys))):
             t0 = time.time()
-            jax.block_until_ready(fn())
-            phase_ms[name] = round(1e3 * (time.time() - t0), 1)
-        print(f"phase latencies (ms): {phase_ms}", flush=True)
+            _sync(fn())
+            phase_ms[name] = round(1e3 * (time.time() - t0 - rtt), 1)
+        print(f"phase latencies (ms, rtt {rtt*1e3:.0f} subtracted): "
+              f"{phase_ms}", flush=True)
     else:
         f = jax.jit(entry)
         t0 = time.time()
@@ -230,7 +241,8 @@ def main():
     times = []
     for _ in range(args.reps):
         t0 = time.time()
-        jax.block_until_ready(f(ctx, ct, keys).c)
+        o_ = f(ctx, ct, keys)
+        np.asarray(jax.device_get(o_.c[0, 0, :8]))   # trusted sync
         times.append(time.time() - t0)
     lat_ms = 1e3 * min(times)
 

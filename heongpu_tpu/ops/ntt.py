@@ -471,13 +471,29 @@ def _use_pallas() -> bool:
     return _BACKEND == "pallas"
 
 
+# Per-limb twiddle tables above this size route to the stage path even when
+# pallas is selected: a pallas call whose operands (input + output + the two
+# (L, N) twiddle matrices) appear as short-lived edges inside a larger XLA
+# program gets ALL of them stack-allocated in scoped VMEM (16 MiB); measured
+# at N=2^16: L=12 compiles everywhere (flagship), L=48/52 fails with a
+# 45-54 MB scoped allocation even after row-splitting, because each split
+# slice is itself such an edge.  4 MB/table keeps the validated small-L hot
+# shapes on pallas and sends the wide keygen/bootstrap QP bases (L > 16 at
+# N=2^16) to the jnp stage path, which streams from HBM.
+_PALLAS_TABLE_LIMIT = 4 << 20
+
+
+def _pallas_fits(tb: "NttTables") -> bool:
+    return tb.num_limbs * tb.n * 4 <= _PALLAS_TABLE_LIMIT
+
+
 def ntt_fwd(x, tb: NttTables):
     """Coefficient domain -> NTT domain (storage order eval_order).
     x: (..., L, N) uint32, values < p."""
     if tb.mxu is not None:
         from . import ntt_mxu
         return ntt_mxu.ntt_fwd_mxu(x, tb, tb.mxu)
-    if _use_pallas():
+    if _use_pallas() and _pallas_fits(tb):
         from . import ntt_pallas
         return ntt_pallas.ntt_pallas(x, tb, inverse=False)
     n1, n2 = tb.n1, tb.n2
@@ -498,7 +514,7 @@ def ntt_inv(x, tb: NttTables):
     if tb.mxu is not None:
         from . import ntt_mxu
         return ntt_mxu.ntt_inv_mxu(x, tb, tb.mxu)
-    if _use_pallas():
+    if _use_pallas() and _pallas_fits(tb):
         from . import ntt_pallas
         return ntt_pallas.ntt_pallas(x, tb, inverse=True)
     n1, n2 = tb.n1, tb.n2
