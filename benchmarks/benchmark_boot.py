@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -185,15 +186,39 @@ def main():
               f"{np.max(np.abs(gs - want_s)):.3e}", flush=True)
 
     if args.phased and args.variant == "regular":
-        # separate programs: XLA compile time is superlinear in program
-        # size, so three smaller compiles beat one monolith by a lot; the
-        # inter-phase HBM round-trip is noise at these latencies
-        f_ctos = jax.jit(lambda c_, k_: ckks_boot.coeff_to_slot(
-            ctx, ckks_boot.mod_raise(ctx, c_, args.base_count), k_))
+        # piece-level programs: XLA compile time is superlinear in program
+        # size and the tunnel's compile helper drops oversized requests
+        # ("response body closed" at the 3-piece N=2^16 CtoS monolith), so
+        # every matvec piece / EvalMod / glue step compiles separately; the
+        # inter-program HBM round-trip is noise at these latencies
+        f_raise = jax.jit(lambda c_: ckks_boot.mod_raise(
+            ctx, c_, args.base_count))
+
+        def _piece_fn(kind, i):
+            def g(c_, k_):
+                pieces = k_.ctos_pieces if kind == "c" else k_.stoc_pieces
+                return ckks_boot.matvec_piece(ctx, c_, pieces[i], k_.gk)
+            return jax.jit(g)
+
+        f_cp = [_piece_fn("c", i) for i in range(len(keys.ctos_pieces))]
+        f_sp = [_piece_fn("s", i) for i in range(len(keys.stoc_pieces))]
+        f_cfin = jax.jit(lambda w_, k_: ckks_boot.ctos_finish(ctx, w_, k_))
         f_mod = jax.jit(lambda t_, k_: ckks_boot.eval_exp_sin(ctx, t_, k_))
-        f_stoc = jax.jit(lambda s0_, s1_, k_: ckks_boot.slot_to_coeff(
+        f_sent = jax.jit(lambda s0_, s1_, k_: ckks_boot.stoc_entry(
             ctx, s0_, s1_, k_))
         phase_ms = {}
+
+        def f_ctos(c_, k_):
+            w = f_raise(c_)
+            for g in f_cp:
+                w = g(w, k_)
+            return f_cfin(w, k_)
+
+        def f_stoc(s0_, s1_, k_):
+            m = f_sent(s0_, s1_, k_)
+            for g in f_sp:
+                m = g(m, k_)
+            return m
 
         def f(_ctx, c_, k_):
             t0_, t1_ = f_ctos(c_, k_)
@@ -203,7 +228,8 @@ def main():
 
         t0 = time.time()
         t0v_, t1v_ = jax.block_until_ready(f_ctos(ct, keys))
-        print(f"phase CtoS compile+run: {time.time()-t0:.1f} s", flush=True)
+        print(f"phase CtoS compile+run: {time.time()-t0:.1f} s "
+              f"({len(f_cp)} piece programs)", flush=True)
         t0 = time.time()
         s0v_ = jax.block_until_ready(f_mod(t0v_, keys))
         s1v_ = f_mod(t1v_, keys)

@@ -25,16 +25,31 @@ def run_impl(ctx, sk, key, label, widths, batch, reps):
     c1 = tfhe.encrypt(ctx, sk, b1, rng.new_key())
     c2 = tfhe.encrypt(ctx, sk, b2, rng.new_key())
     print(f"TFHE STD128 [{label}], gate batch B={batch}")
+
+    # The tunnel's block_until_ready can return before device execution
+    # finishes, so: serialize reps by feeding each output back as an input
+    # (data dependency), sync via a host readback, and report the delta
+    # between a 1-rep and an R-rep run (cancels dispatch + readback RTT).
+    def timed_chain(step, seed_args, reps):
+        def run(r):
+            a = seed_args
+            for _ in range(r):
+                a = step(*a)
+            np.asarray(jax.device_get(a[0].b[:4]))
+            return a
+        run(2)   # warm both jit signatures (fresh-input and chained-input
+                 # variance metadata differ -> two compiles)
+        t0 = time.perf_counter()
+        run(1)
+        t1 = time.perf_counter()
+        run(1 + reps)
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / reps
+
     for name, fn in [("NAND", tfhe.NAND), ("AND", tfhe.AND), ("OR", tfhe.OR),
                      ("XOR", tfhe.XOR)]:
         g = jax.jit(lambda a, b, fn=fn: fn(ctx, key, a, b))
-        o = g(c1, c2)
-        jax.block_until_ready(o.b)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            o = g(c1, c2)
-        jax.block_until_ready(o.b)
-        dt = (time.perf_counter() - t0) / reps
+        dt = timed_chain(lambda a, b: (g(a, b), b), (c1, c2), reps)
         print(f"  {name:5s} {dt*1e3:8.1f} ms  ({dt/batch*1e6:8.1f} us/gate amortized)")
 
     jadd = jax.jit(tfhe_int.add)
@@ -43,12 +58,25 @@ def run_impl(ctx, sk, key, label, widths, batch, reps):
         ys = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
         hx = tfhe_int.encrypt_huint(ctx, sk, xs, w, rng.new_key())
         hy = tfhe_int.encrypt_huint(ctx, sk, ys, w, rng.new_key())
-        hs, _ = jadd(ctx, key, hx, hy)
-        jax.block_until_ready(hs.bits.b)
+
+        def stepw(a, b):
+            s, _ = jadd(ctx, key, a, b)
+            return s, b
+
+        def syncw(h):
+            np.asarray(jax.device_get(h.bits.b[:4]))
+
+        h = stepw(stepw(hx, hy)[0], hy)[0]   # warm both jit signatures
+        syncw(h)
         t0 = time.perf_counter()
-        hs, _ = jadd(ctx, key, hx, hy)
-        jax.block_until_ready(hs.bits.b)
-        dt = time.perf_counter() - t0
+        syncw(stepw(hx, hy)[0])
+        t1 = time.perf_counter()
+        h = hx
+        for _ in range(3):
+            h = stepw(h, hy)[0]
+        syncw(h)
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / 2
         print(f"  huint{w:<3d} add {dt*1e3:8.1f} ms  "
               f"({tfhe_int.bootstrap_rounds(w)} batched blind-rotation rounds)")
 

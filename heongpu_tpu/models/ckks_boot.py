@@ -552,14 +552,11 @@ def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
     return v
 
 
-def coeff_to_slot(ctx, ct: Ciphertext, keys: BootKeys):
-    """(reference coeff_to_slot, operator.cu:3499) — returns t0 (low coeffs in
-    slots) and t1 (high coeffs), both pre-scaled by the EvalMod entry
-    constant.  Shares one factored-DFT pass: w = pieces(ct), then
-    t0 = w + conj(w), t1 = u + conj(u) with u = -i*w."""
-    w = ct
-    for piece in keys.ctos_pieces:
-        w = matvec_piece(ctx, w, piece, keys.gk)
+def ctos_finish(ctx, w: Ciphertext, keys: BootKeys):
+    """Tail of coeff_to_slot after the factored-DFT pieces: t0 = w + conj(w),
+    t1 = u + conj(u) with u = -i*w (factored out so drivers can jit the
+    pipeline piece-by-piece — one giant XLA program per phase is fragile to
+    compile at N=2^16)."""
     wc = ckks.conjugate(ctx, w, keys.gk)
     t0 = ckks.add(ctx, w, wc)
     u = ckks.multiply_by_monomial(ctx, w, keys.mult_neg_i)
@@ -568,10 +565,26 @@ def coeff_to_slot(ctx, ct: Ciphertext, keys: BootKeys):
     return t0, t1
 
 
+def coeff_to_slot(ctx, ct: Ciphertext, keys: BootKeys):
+    """(reference coeff_to_slot, operator.cu:3499) — returns t0 (low coeffs in
+    slots) and t1 (high coeffs), both pre-scaled by the EvalMod entry
+    constant.  Shares one factored-DFT pass: w = pieces(ct), then
+    t0 = w + conj(w), t1 = u + conj(u) with u = -i*w."""
+    w = ct
+    for piece in keys.ctos_pieces:
+        w = matvec_piece(ctx, w, piece, keys.gk)
+    return ctos_finish(ctx, w, keys)
+
+
+def stoc_entry(ctx, s0: Ciphertext, s1: Ciphertext, keys: BootKeys):
+    """Head of slot_to_coeff before the factored-DFT pieces: m = s0 + i*s1."""
+    return ckks.add(ctx, s0, ckks.multiply_by_monomial(ctx, s1, keys.mult_i))
+
+
 def slot_to_coeff(ctx, s0: Ciphertext, s1: Ciphertext, keys: BootKeys):
     """m = s0 + i*s1, then the forward factored DFT (reference slot_to_coeff,
     operator.cu:3740)."""
-    m = ckks.add(ctx, s0, ckks.multiply_by_monomial(ctx, s1, keys.mult_i))
+    m = stoc_entry(ctx, s0, s1, keys)
     for piece in keys.stoc_pieces:
         m = matvec_piece(ctx, m, piece, keys.gk)
     return m

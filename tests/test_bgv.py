@@ -101,6 +101,7 @@ def test_rotation(setup):
     np.testing.assert_array_equal(got, (want % ctx.t).astype(np.uint32))
 
 
+@pytest.mark.slow
 def test_deep_chain(setup):
     """Repeated square-and-modswitch down the whole chain stays exact."""
     ctx, sk, pk = setup

