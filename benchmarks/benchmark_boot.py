@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--variant", default="regular",
                     choices=["regular", "slim", "bit", "gate"])
     ap.add_argument("--pieces", type=int, default=3)
+    ap.add_argument("--stoc-pieces", type=int, default=None, dest="stoc_pieces",
+                    help="StoC piece count (default: same as --pieces); "
+                    "ctos=3/stoc=2 balances table HBM vs chain depth at "
+                    "N=2^16")
     ap.add_argument("--taylor", type=int, default=7)
     ap.add_argument("--squarings", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
@@ -62,7 +66,11 @@ def main():
     ap.add_argument("--phased", action="store_true",
                     help="jit CtoS / EvalMod / StoC as separate programs "
                     "(much faster first compile; prints per-phase ms)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (config validation at small N)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     N, DEPTH = args.n, args.depth
     t0 = time.time()
@@ -85,7 +93,9 @@ def main():
     from heongpu_tpu.utils import serializer
     cache_dir = os.path.join(os.path.dirname(CACHE), ".bootcache")
     os.makedirs(cache_dir, exist_ok=True)
-    tag = (f"{args.variant}_n{N}_d{DEPTH}_p{args.pieces}_t{args.taylor}"
+    tag = (f"{args.variant}_n{N}_d{DEPTH}_p{args.pieces}"
+           + (f"x{args.stoc_pieces}" if args.stoc_pieces else "")
+           + f"_t{args.taylor}"
            f"_s{args.squarings}_hw{args.hw}_a{args.alpha}"
            f"_pc{args.p_count}_bc{args.base_count}"
            + (f"_as{args.arcsin}" if args.arcsin else "")
@@ -106,7 +116,7 @@ def main():
             cfg = ckks_boot.BootConfig(taylor_degree=args.taylor,
                                        exp_squarings=args.squarings,
                                        ctos_pieces=args.pieces,
-                                       stoc_pieces=args.pieces,
+                                       stoc_pieces=args.stoc_pieces or args.pieces,
                                        base_count=args.base_count,
                                        arcsin_order=args.arcsin,
                                        piece_depth=args.piece_depth)

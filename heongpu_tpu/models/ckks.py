@@ -236,6 +236,29 @@ def _ring(ctx: CkksContext) -> RingView:
                     ctx.base_qp, ctx.ntt_qp, ctx.div_p)
 
 
+def _ring_at(ctx: CkksContext, level: int) -> RingView:
+    """Ring view over the level basis (active Q prefix + specials) — lets
+    eval keys be GENERATED at their use level, shrinking deep-chain key sets
+    (a StoC rotation key at level 36 of a 44-chain needs 14 limbs × 2
+    digits, not 50 × 11 — ~20× smaller; see ckks_boot bootstrap keys)."""
+    if level == 0:
+        return _ring(ctx)
+    ka = ctx.active(level)
+    return RingView(ctx.n, ctx.q_primes[:ka], ctx.p_primes,
+                    ctx.base_q.slice(0, ka), ctx.base_qp_at(level),
+                    ctx.ntt_qp_at(level), ctx.div_p_at(level))
+
+
+def _sk_at(ctx: CkksContext, sk: ringkit.SecretKey, level: int):
+    """Secret key restricted to the level basis (limb rows sliced)."""
+    if level == 0:
+        return sk
+    ka = ctx.active(level)
+    s = jnp.concatenate([sk.s_ntt_mont_qp[:ka], sk.s_ntt_mont_qp[ctx.k:]],
+                        axis=0)
+    return ringkit.SecretKey(sk.s_coeff, s, sk.hamming_weight)
+
+
 def keygen_secret(ctx, key, hamming_weight=None):
     return ringkit.keygen_secret(_ring(ctx), key, hamming_weight)
 
@@ -244,23 +267,29 @@ def keygen_public(ctx, key, sk, a_seed=None):
     return ringkit.keygen_public(_ring(ctx), key, sk, a_seed=a_seed)
 
 
-def _groups(ctx):
+def _groups(ctx, level: int = 0):
     if ctx.ks_type == "II":
-        return tuple(tuple(range(j, min(j + ctx.alpha, ctx.k)))
-                     for j in range(0, ctx.k, ctx.alpha))
+        ka = ctx.active(level)
+        return tuple(tuple(range(j, min(j + ctx.alpha, ka)))
+                     for j in range(0, ka, ctx.alpha))
     return None
 
 
-def keygen_relin(ctx, key, sk, a_seed=None):
-    return ringkit.keygen_relin(_ring(ctx), key, sk, groups=_groups(ctx),
-                                a_seed=a_seed)
+def keygen_relin(ctx, key, sk, a_seed=None, level: int = 0):
+    """level > 0: generate at the level basis (usable at levels >= level
+    only; the key's limb extent encodes its generation level)."""
+    return ringkit.keygen_relin(_ring_at(ctx, level), key, _sk_at(ctx, sk, level),
+                                groups=_groups(ctx, level), a_seed=a_seed)
 
 
 def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8,
-                  elts=None, a_seed=None, store_a: bool = True):
-    return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 groups=_groups(ctx), elts=elts, a_seed=a_seed,
-                                 store_a=store_a)
+                  elts=None, a_seed=None, store_a: bool = True,
+                  include_conj: bool = True, level: int = 0):
+    return ringkit.keygen_galois(_ring_at(ctx, level), key,
+                                 _sk_at(ctx, sk, level), steps, max_shift,
+                                 groups=_groups(ctx, level), elts=elts,
+                                 a_seed=a_seed, store_a=store_a,
+                                 include_conj=include_conj)
 
 
 def keygen_switch(ctx, key, sk_old, sk_new):
@@ -730,29 +759,47 @@ def _keyswitch_poly(ctx, poly_ntt, k0, k1, level):
     ka = ctx.active(level)
     if ctx.ks_type == "II":
         d_lvl = -(-ka // ctx.alpha)
-        idx_dig = slice(0, d_lvl)
         k0s = _slice_key2(ctx, k0, ka, d_lvl)
         k1s = _slice_key2(ctx, k1, ka, d_lvl)
         return keyswitch2.keyswitch2(
             poly_ntt, k0s, k1s, ctx.ks2[level], ctx.ntt_qp_at(level),
             ctx.base_qp_at(level), in_ntt=True, out_ntt=True,
             ntt_q_level=ctx.ntt_q(level))
-    k0s = ringkit.slice_key_level(k0, ka, ctx.k)
-    k1s = ringkit.slice_key_level(k1, ka, ctx.k)
+    k_gen = k0.shape[1] - len(ctx.p_primes)
+    k0s = ringkit.slice_key_level(k0, ka, k_gen)
+    k1s = ringkit.slice_key_level(k1, ka, k_gen)
     return ringkit.keyswitch_core(
         poly_ntt, k0s, k1s, ctx.base_qp_at(level), ctx.ntt_qp_at(level),
         ctx.div_p_at(level), in_ntt=True, out_ntt=True, ntt_q=ctx.ntt_q(level))
 
 
 def _slice_key2(ctx, k_arr, ka: int, d_lvl: int):
-    """Method-II key slice: first d_lvl digits, active Q limbs + all specials."""
-    return jnp.concatenate([k_arr[:d_lvl, :ka], k_arr[:d_lvl, ctx.k:]], axis=1)
+    """Method-II key slice: first d_lvl digits, active Q limbs + all
+    specials.  The key's own Q extent is derived from its shape, so keys
+    GENERATED at a deeper level (fewer limbs, see keygen_galois(level=))
+    slice identically — the grouped gadget is a prefix partition, so a
+    truncated-basis key IS the prefix slice of the full-basis key."""
+    k_gen = k_arr.shape[1] - len(ctx.p_primes)
+    if ka > k_gen:
+        raise errors.LevelMismatchError(
+            f"key generated at a {k_gen}-limb basis used at a level with "
+            f"{ka} active limbs; regenerate the key at level <= "
+            f"{ctx.k - k_gen}")
+    if ka == k_gen and d_lvl == k_arr.shape[0]:
+        return k_arr
+    return jnp.concatenate([k_arr[:d_lvl, :ka], k_arr[:d_lvl, k_gen:]], axis=1)
+
+
+def _key_ring(ctx, kk):
+    """Ring view of the basis a key was generated in (shape-derived)."""
+    k_gen = kk.k0.shape[1] - len(ctx.p_primes)
+    return _ring_at(ctx, ctx.k - k_gen)
 
 
 def _k1_of(ctx, kk):
     """Uniform key half, regenerated on device when the key is stored
     stripped (seed-expanded, k1=None) — see ringkit.ensure_k1."""
-    return ringkit.ensure_k1(_ring(ctx), kk)
+    return ringkit.ensure_k1(_key_ring(ctx, kk), kk)
 
 
 def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:
@@ -821,8 +868,9 @@ def _hoist_key_slices(ctx, gk1, lvl):
         d_lvl = -(-ka // ctx.alpha)
         return (_slice_key2(ctx, gk1.k0, ka, d_lvl),
                 _slice_key2(ctx, k1, ka, d_lvl))
-    return (ringkit.slice_key_level(gk1.k0, ka, ctx.k),
-            ringkit.slice_key_level(k1, ka, ctx.k))
+    k_gen = gk1.k0.shape[1] - len(ctx.p_primes)
+    return (ringkit.slice_key_level(gk1.k0, ka, k_gen),
+            ringkit.slice_key_level(k1, ka, k_gen))
 
 
 def hoist(ctx, a: Ciphertext):

@@ -322,6 +322,51 @@ def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
                  depth=depth)
 
 
+def leveled_boot_keys(ctx, key, sk, pieces, aux_lvl: int,
+                      compress_keys: bool, extra_steps_lvl: dict = None,
+                      include_giants: bool = True):
+    """Galois + relin keys for a bootstrap pipeline, each rotation step's key
+    GENERATED AT ITS SHALLOWEST USE LEVEL (ckks.keygen_galois(level=)):
+    StoC steps live at deep levels (few active limbs), so their keys are
+    ~20x smaller than full-depth ones — this is what fits the N=2^16
+    precision config's key set in one chip's HBM.  conj + relin are
+    generated at aux_lvl (their first use).  compress_keys additionally
+    stores only the k0 halves (a regenerated from seeds per use)."""
+    step_lvl = dict(extra_steps_lvl or {})
+    for pc in pieces:
+        for g, babies, _ in pc.giants:
+            for b in babies:
+                if b:
+                    step_lvl[b] = min(step_lvl.get(b, 1 << 30), pc.level)
+            if g and include_giants:
+                step_lvl[g] = min(step_lvl.get(g, 1 << 30), pc.level)
+    by_level = {}
+    for s, l in step_lvl.items():
+        by_level.setdefault(l, []).append(s)
+
+    seed0 = _compress_seed(key) if compress_keys else None
+    gk_all = {}
+    for i, l in enumerate(sorted(by_level)):
+        gk_l = ckks.keygen_galois(
+            ctx, rng.fold_in(key, 100 + i), sk, steps=sorted(by_level[l]),
+            level=l, include_conj=False,
+            a_seed=None if seed0 is None else seed0 + (i << 12),
+            store_a=not compress_keys)
+        gk_all.update(gk_l.keys)
+    gk_c = ckks.keygen_galois(
+        ctx, rng.fold_in(key, 99), sk, steps=[], level=aux_lvl,
+        include_conj=True,
+        a_seed=None if seed0 is None else seed0 + (1 << 19),
+        store_a=not compress_keys)
+    gk_all["conj"] = gk_c.keys["conj"]
+    gk = ringkit.GaloisKey(gk_all)
+    rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk, level=aux_lvl,
+                           a_seed=None if seed0 is None else seed0 + (1 << 20))
+    if compress_keys:
+        rk = ringkit.strip_seeded(rk)
+    return gk, rk
+
+
 def _compress_seed(key) -> int:
     """Deterministic public seed for seed-expanded key sets, derived from the
     keygen PRNG key (a DRBG draws it from its own stream)."""
@@ -391,21 +436,9 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
                                 depth=pd)
                    for i, m in enumerate(stoc_mats)]
 
-    steps = set()
-    for pc in ctos_pieces + stoc_pieces:
-        for g, babies, _ in pc.giants:
-            steps.update(b for b in babies if b)
-            if g:
-                steps.add(g)
-    if compress_keys:
-        seed0 = _compress_seed(key)
-        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps),
-                                a_seed=seed0, store_a=False)
-        rk = ringkit.strip_seeded(ckks.keygen_relin(
-            ctx, rng.fold_in(key, 1), sk, a_seed=seed0 + (1 << 20)))
-    else:
-        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
-        rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
+    # conj is first used at ctos_finish (level p1*pd); relin at EvalMod
+    gk, rk = leveled_boot_keys(ctx, key, sk, ctos_pieces + stoc_pieces,
+                               aux_lvl=p1 * pd, compress_keys=compress_keys)
     return BootKeys(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
                     ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
                     mult_i=ckks.monomial_mult_tables(ctx, n // 2),

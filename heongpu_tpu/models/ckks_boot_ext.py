@@ -157,30 +157,21 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
         stoc_pieces = [_build_piece(ctx, m, lvl0 + i, _encoder(ctx))
                        for i, m in enumerate(stoc_mats)]
 
-    steps = set()
-    for pc in ctos_pieces + stoc_pieces:
-        for g, babies, _ in pc.giants:
-            steps.update(b for b in babies if b)
-            if g and not less_key_mode:
-                steps.add(g)
+    extra = {}
     if less_key_mode:
         # giants compose from the power-of-two chain (reference
         # less_key_mode, docs/bootstrapping.rst:23: -30% key memory,
-        # +15-20% time)
+        # +15-20% time), keyed at the shallowest piece level
+        min_lvl = min(pc.level for pc in ctos_pieces + stoc_pieces)
         half = ctx.n // 2
         j = 1
         while j < half:
-            steps.add(j)
+            extra[j] = min_lvl
             j *= 2
-    if compress_keys:
-        seed0 = ckks_boot._compress_seed(key)
-        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps),
-                                a_seed=seed0, store_a=False)
-        rk = ringkit.strip_seeded(ckks.keygen_relin(
-            ctx, rng.fold_in(key, 1), sk, a_seed=seed0 + (1 << 20)))
-    else:
-        gk = ckks.keygen_galois(ctx, key, sk, steps=sorted(steps))
-        rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk)
+    gk, rk = ckks_boot.leveled_boot_keys(
+        ctx, key, sk, ctos_pieces + stoc_pieces, aux_lvl=p1,
+        compress_keys=compress_keys, extra_steps_lvl=extra,
+        include_giants=not less_key_mode)
     swk_to_sparse = swk_to_dense = None
     if sparse_hw is not None:
         k_sp = rng.fold_in(key, 2)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import weakref
 from functools import partial
 
 import numpy as np
@@ -430,16 +431,27 @@ def _modswitch(x, N):
     return ((x + (jnp.uint32(1) << (sh - 1))) >> sh).astype(jnp.int32)
 
 
-def bootstrap_output_variance(ctx: TfheContext, unroll_factor: int = 1) -> float:
-    """Fresh-output noise variance of one gate bootstrap (CGGI estimate:
-    blind-rotation external products + decomposition error + keyswitch).
-    unroll_factor=4 for the 2-bit key-unrolled chain: three u-scaled
-    external products per pair-step, ||X^a − 1||² = 2 per convolution."""
+def blind_rotate_variance(ctx: TfheContext, unroll_factor: int = 1) -> float:
+    """Noise variance of the blind rotation + sample extract alone (CGGI
+    estimate: external products + decomposition error), i.e. the N-LWE
+    sample BEFORE the base-4 keyswitch.  unroll_factor=4 for the 2-bit
+    key-unrolled chain: three u-scaled external products per pair-step,
+    ||X^a − 1||² = 2 per convolution."""
     br = (ctx.n * (ctx.k + 1) * ctx.l * ctx.N * (BG / 2) ** 2 * SIGMA_BK ** 2
           + ctx.n * (1 + ctx.k * ctx.N) * (2.0 ** (-2 * ctx.bg_bit * ctx.l)) / 12)
-    ks = ctx.N * ctx.ks_length * SIGMA_KS ** 2 \
+    return br * unroll_factor
+
+
+def keyswitch_variance(ctx: TfheContext) -> float:
+    """Noise added by the N→n base-4 LWE keyswitch."""
+    return ctx.N * ctx.ks_length * SIGMA_KS ** 2 \
         + ctx.N * (2.0 ** (-2 * ctx.ks_base_bit * ctx.ks_length)) / 12
-    return br * unroll_factor + ks
+
+
+def bootstrap_output_variance(ctx: TfheContext, unroll_factor: int = 1) -> float:
+    """Fresh-output noise variance of one gate bootstrap (blind rotation +
+    keyswitch)."""
+    return blind_rotate_variance(ctx, unroll_factor) + keyswitch_variance(ctx)
 
 
 def noise_margin_bits(ct: Ciphertext) -> float:
@@ -471,20 +483,38 @@ def _boot_prologue(ctx: TfheContext, ct: Ciphertext):
     return acc, a_t
 
 
-def _boot_epilogue(ctx: TfheContext, bk: BootKey, acc_t, B: int):
-    """Sample extract at coefficient 0 + base-4 LWE keyswitch; acc_t is the
-    final (B, 2, N) torus accumulator."""
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["a", "b"], meta_fields=["variance"])
+@dataclasses.dataclass(frozen=True)
+class NLwe:
+    """Batched N-dimensional LWE samples under the TRLWE key — the sample-
+    extracted blind-rotation output BEFORE the N→n keyswitch.  MUX combines
+    two of these linearly and keyswitches once (reference
+    host/tfhe/operator.cuh:688-812 does the OR combine pre-keyswitch)."""
+    a: jnp.ndarray  # (B, N) uint32
+    b: jnp.ndarray  # (B,) uint32
+    variance: float = 0.0
+
+
+def _sample_extract(ctx: TfheContext, acc_t):
+    """Constant-coefficient sample extraction of the (B, 2, N) torus
+    accumulator → ((B, N) a, (B,) b) N-LWE parts."""
     N = ctx.N
     a_poly = acc_t[:, 0, :]
     b_out = acc_t[:, 1, 0]
     idx = jnp.arange(N, dtype=jnp.int32)
     rolled = jnp.roll(a_poly[:, ::-1], 1, axis=-1)
     ext_a = jnp.where(idx[None, :] == 0, rolled, -rolled)
+    return ext_a, b_out
 
+
+def lwe_keyswitch(ctx: TfheContext, bk, s: NLwe) -> Ciphertext:
+    """Base-4 N→n LWE keyswitch (reference tfhe_key_switching_kernel)."""
+    B = s.a.shape[0]
     sh0 = 32 - ctx.ks_base_bit * ctx.ks_length
-    u = ext_a + (jnp.uint32(1) << (sh0 - 1))
+    u = s.a + (jnp.uint32(1) << (sh0 - 1))
     out_a = jnp.zeros((B, ctx.n), U32)
-    out_b = b_out
+    out_b = s.b
     for t in range(ctx.ks_length):
         sh = 32 - (t + 1) * ctx.ks_base_bit
         dig = (u >> sh) & jnp.uint32(KS_BASE - 1)
@@ -496,33 +526,70 @@ def _boot_epilogue(ctx: TfheContext, bk: BootKey, acc_t, B: int):
             kb[None], dig[:, :, None].astype(jnp.int32), axis=2)[:, :, 0]
         out_a = out_a - jnp.sum(sel_a, axis=1)
         out_b = out_b - jnp.sum(sel_b, axis=1)
-    return Ciphertext(out_a, out_b, variance=bootstrap_output_variance(ctx))
+    return Ciphertext(out_a, out_b,
+                      variance=s.variance + keyswitch_variance(ctx))
 
 
-_FUSED_PREP = {}   # (id(ctx), Bt) -> kernel-layout table dict
-_FUSED_KEYS = {}   # (id(key), Bt) -> batch-expanded kernel-layout key stream
+def _boot_epilogue(ctx: TfheContext, bk, acc_t, B: int,
+                   keyswitch: bool = True, unroll_factor: int = 1):
+    """Sample extract at coefficient 0 (+ base-4 LWE keyswitch when
+    keyswitch=True); acc_t is the final (B, 2, N) torus accumulator."""
+    ext_a, b_out = _sample_extract(ctx, acc_t)
+    s = NLwe(ext_a, b_out, variance=blind_rotate_variance(ctx, unroll_factor))
+    if not keyswitch:
+        return s
+    return lwe_keyswitch(ctx, bk, s)
+
+
+class _WeakIdCache:
+    """Cache keyed on (object identity, tile) with weakref-guarded lookups.
+
+    id()-keyed dicts alone are unsafe: a GC'd key whose address is reused
+    would return a *stale* entry (silent wrong results) and entries never
+    evict (~256 MB leak per TFHE key).  Here each entry stores a weakref to
+    the keying object; a hit requires `ref() is obj` (a recycled address
+    can never alias — the dead ref yields None), and a weakref.finalize
+    callback evicts the entry the moment the keying object is collected."""
+
+    def __init__(self):
+        self._d = {}
+
+    def get(self, obj, tile):
+        ent = self._d.get((id(obj), tile))
+        if ent is not None and ent[0]() is obj:
+            return ent[1]
+        return None
+
+    def put(self, obj, tile, value):
+        k = (id(obj), tile)
+        self._d[k] = (weakref.ref(obj), value)
+        weakref.finalize(obj, self._d.pop, k, None)
+        return value
+
+
+_FUSED_PREP = _WeakIdCache()   # ctx, Bt -> kernel-layout table dict
+_FUSED_KEYS = _WeakIdCache()   # key arr, Bt -> batch-expanded key stream
 
 
 def _fused_tabs(ctx, tile: int):
     from ..ops import tfhe_kernel as tk
-    tabs = _FUSED_PREP.get((id(ctx), tile))
+    tabs = _FUSED_PREP.get(ctx, tile)
     if tabs is None:
-        tabs = tk.prep_tables(ctx, Bt=tile)
-        _FUSED_PREP[(id(ctx), tile)] = tabs
+        tabs = _FUSED_PREP.put(ctx, tile, tk.prep_tables(ctx, Bt=tile))
     return tabs
 
 
 def _fused_key_stream(key_arr, tile: int, unrolled: bool):
     """Batch-expanded HBM key stream (~256 MB for STD128 at Bt=8), built once
     per (key, tile) OUTSIDE jit so the expansion isn't re-materialised per
-    gate call."""
+    gate call.  Prefer compile_key()/FusedKey for long-lived processes —
+    this cache exists for the convenience BootKey entry points."""
     from ..ops import tfhe_kernel as tk
-    ck = (id(key_arr), tile)
-    st = _FUSED_KEYS.get(ck)
+    st = _FUSED_KEYS.get(key_arr, tile)
     if st is None:
-        st = (tk.prep_bk2(key_arr, Bt=tile) if unrolled
-              else tk.prep_bk(key_arr, Bt=tile))
-        _FUSED_KEYS[ck] = st
+        st = _FUSED_KEYS.put(key_arr, tile,
+                             tk.prep_bk2(key_arr, Bt=tile) if unrolled
+                             else tk.prep_bk(key_arr, Bt=tile))
     return st
 
 
@@ -584,10 +651,15 @@ def bootstrap_fused(ctx: TfheContext, bk: BootKey, ct: Ciphertext,
                                  interpret=interpret)
 
 
-@partial(jax.jit, static_argnames=("tile", "interpret"))
+def _unpad(out, B0: int):
+    cls = type(out)
+    return cls(out.a[:B0], out.b[:B0], variance=out.variance)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret", "keyswitch"))
 def _bootstrap_fused_core(ctx: TfheContext, bk: BootKey, bk_stream,
                           ct: Ciphertext, tabs, tile: int = 8,
-                          interpret: bool = False) -> Ciphertext:
+                          interpret: bool = False, keyswitch: bool = True):
     from ..ops import tfhe_kernel as tk
 
     B0 = ct.a.shape[0]
@@ -604,16 +676,16 @@ def _bootstrap_fused_core(ctx: TfheContext, bk: BootKey, bk_stream,
                             n=ctx.n, Bt=tile, interpret=interpret)
     acc_ntt = tk.unprep_acc(out_k, B, tile)           # (B, 2, 2, N)
     acc_t = _rns_to_torus(ctx, nttm.ntt_inv(acc_ntt, ctx.ntt))
-    out = _boot_epilogue(ctx, bk, acc_t, B)
+    out = _boot_epilogue(ctx, bk, acc_t, B, keyswitch=keyswitch)
     if B != B0:
-        out = Ciphertext(out.a[:B0], out.b[:B0], variance=out.variance)
+        out = _unpad(out, B0)
     return out
 
 
-@partial(jax.jit, static_argnames=("tile", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "interpret", "keyswitch"))
 def _bootstrap_fused2_core(ctx: TfheContext, bk2: BootKey2, bk_stream,
                            ct: Ciphertext, tabs, tile: int = 8,
-                           interpret: bool = False) -> Ciphertext:
+                           interpret: bool = False, keyswitch: bool = True):
     from ..ops import tfhe_kernel as tk
 
     B0 = ct.a.shape[0]
@@ -630,11 +702,10 @@ def _bootstrap_fused2_core(ctx: TfheContext, bk2: BootKey2, bk_stream,
                              n=ctx.n, Bt=tile, interpret=interpret)
     acc_ntt = tk.unprep_acc(out_k, B, tile)
     acc_t = _rns_to_torus(ctx, nttm.ntt_inv(acc_ntt, ctx.ntt))
-    out = _boot_epilogue(ctx, bk2, acc_t, B)
-    out = Ciphertext(out.a, out.b,
-                     variance=bootstrap_output_variance(ctx, unroll_factor=4))
+    out = _boot_epilogue(ctx, bk2, acc_t, B, keyswitch=keyswitch,
+                         unroll_factor=4)
     if B != B0:
-        out = Ciphertext(out.a[:B0], out.b[:B0], variance=out.variance)
+        out = _unpad(out, B0)
     return out
 
 
@@ -649,8 +720,9 @@ def bootstrap_fused2(ctx: TfheContext, bk2: BootKey2, ct: Ciphertext,
                                   interpret=interpret)
 
 
-@jax.jit
-def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
+@partial(jax.jit, static_argnames=("keyswitch",))
+def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext,
+                  keyswitch: bool = True):
     """Blind rotation + sample extract + keyswitch for a batch of LWEs whose
     phase sign encodes the bit; returns fresh LWEs with payload ±mu.
 
@@ -700,34 +772,7 @@ def bootstrap_raw(ctx: TfheContext, bk: BootKey, ct: Ciphertext) -> Ciphertext:
             f"renormalisation period {_RENORM}; tail steps would be dropped")
     acc = jax.lax.fori_loop(0, ctx.n // _RENORM, outer, acc)
     acc = _rns_to_torus(ctx, nttm.ntt_inv(acc, ctx.ntt))  # (B, 2, N) torus
-
-    # sample extract at coefficient 0
-    a_poly = acc[:, 0, :]
-    b_out = acc[:, 1, 0]
-    # ext_a[j] = a[0] if j==0 else -a[N-j]  (constant-term sample extraction)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    rolled = jnp.roll(a_poly[:, ::-1], 1, axis=-1)        # rolled[j] = a[(N-j) mod N]
-    ext_a = jnp.where(idx[None, :] == 0, rolled, -rolled)
-
-    # keyswitch N -> n (base-4, length-8 digit gather; reference
-    # tfhe_key_switching_kernel)
-    sh0 = 32 - ctx.ks_base_bit * ctx.ks_length
-    u = ext_a + (jnp.uint32(1) << (sh0 - 1))              # rounding
-    out_a = jnp.zeros((B, ctx.n), U32)
-    out_b = b_out
-    for t in range(ctx.ks_length):
-        sh = 32 - (t + 1) * ctx.ks_base_bit
-        dig = (u >> sh) & jnp.uint32(KS_BASE - 1)         # (B, N)
-        ka = bk.ksk_a[:, t]                               # (N, base, n)
-        kb = bk.ksk_b[:, t]                               # (N, base)
-        sel_a = jnp.take_along_axis(
-            ka[None], dig[:, :, None, None].astype(jnp.int32), axis=2
-        )[:, :, 0]                                        # (B, N, n)
-        sel_b = jnp.take_along_axis(
-            kb[None], dig[:, :, None].astype(jnp.int32), axis=2)[:, :, 0]  # (B,N)
-        out_a = out_a - jnp.sum(sel_a, axis=1)
-        out_b = out_b - jnp.sum(sel_b, axis=1)
-    return Ciphertext(out_a, out_b, variance=bootstrap_output_variance(ctx))
+    return _boot_epilogue(ctx, bk, acc, B, keyswitch=keyswitch)
 
 
 # ------------------------------------------------------------------
@@ -747,23 +792,30 @@ def set_bootstrap_impl(impl: str) -> None:
     _BOOT_IMPL = impl
 
 
-def _bootstrap(ctx, bk, ct: Ciphertext) -> Ciphertext:
+def _bootstrap(ctx, bk, ct: Ciphertext, keyswitch: bool = True):
     on_cpu = jax.default_backend() == "cpu"
     if isinstance(bk, FusedKey):
         # pre-compiled key: fully traceable (works inside callers' jit)
         core = _bootstrap_fused2_core if bk.unrolled else _bootstrap_fused_core
         return core(ctx, bk, bk.stream, ct, bk.tabs, tile=bk.tile,
-                    interpret=on_cpu)
+                    interpret=on_cpu, keyswitch=keyswitch)
     if isinstance(bk, BootKey2):
         # key-unrolled chain exists only as the fused kernel; on CPU run it
         # through the Pallas interpreter (tests), on TPU compiled
-        return bootstrap_fused2(ctx, bk, ct, interpret=on_cpu)
+        tile = _pick_tile(ct.a.shape[0], None)
+        return _bootstrap_fused2_core(
+            ctx, bk, _fused_key_stream(bk.bk2, tile, unrolled=True), ct,
+            _fused_tabs(ctx, tile), tile=tile, interpret=on_cpu,
+            keyswitch=keyswitch)
     impl = _BOOT_IMPL
     if impl == "auto":
         impl = "raw" if on_cpu else "fused"
     if impl == "fused":
-        return bootstrap_fused(ctx, bk, ct)
-    return bootstrap_raw(ctx, bk, ct)
+        tile = _pick_tile(ct.a.shape[0], None)
+        return _bootstrap_fused_core(
+            ctx, bk, _fused_key_stream(bk.bk, tile, unrolled=False), ct,
+            _fused_tabs(ctx, tile), tile=tile, keyswitch=keyswitch)
+    return bootstrap_raw(ctx, bk, ct, keyswitch=keyswitch)
 
 
 def _const_ct(B, val) -> Ciphertext:
@@ -816,13 +868,25 @@ def NOT(ctx, c1: Ciphertext) -> Ciphertext:
 
 
 def MUX(ctx, bk, sel, c_true, c_false) -> Ciphertext:
-    """sel ? c_true : c_false — two bootstraps + final add (reference
-    operator.cuh:688-812)."""
-    t = AND(ctx, bk, sel, c_true)
-    f = AND(ctx, bk, NOT(ctx, sel), c_false)
-    pre = Ciphertext(t.a + f.a, t.b + f.b + MU,
-                     variance=t.variance + f.variance)
-    return _bootstrap(ctx, bk, pre)
+    """sel ? c_true : c_false.
+
+    Reference cost structure (operator.cuh:688-812): TWO bootstraps whose
+    N-LWE outputs are combined linearly PRE-keyswitch (the two AND branches
+    are mutually exclusive, so t + f + mu/8 is exact on fresh samples) and
+    ONE final keyswitch — no third bootstrap.  TPU-first improvement: the
+    two blind rotations are mutually independent, so they run as ONE
+    batched 2B chain (same wall time as one bootstrap for small B)."""
+    nsel = NOT(ctx, sel)
+    pre = Ciphertext(
+        jnp.concatenate([sel.a + c_true.a, nsel.a + c_false.a]),
+        jnp.concatenate([sel.b + c_true.b - MU, nsel.b + c_false.b - MU]),
+        variance=max(sel.variance + c_true.variance,
+                     nsel.variance + c_false.variance))
+    s = _bootstrap(ctx, bk, pre, keyswitch=False)         # NLwe, batch 2B
+    B = sel.a.shape[0]
+    comb = NLwe(s.a[:B] + s.a[B:], s.b[:B] + s.b[B:] + MU,
+                variance=2 * s.variance)
+    return lwe_keyswitch(ctx, bk, comb)
 
 
 def print_parameters(ctx: TfheContext):

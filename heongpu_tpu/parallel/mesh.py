@@ -55,16 +55,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_array_limb_axis(x, mesh: Mesh, limb_axis: int = -2):
+    """Place one array: shard limb_axis if its length divides the mesh 'limb'
+    size, else replicate.  A bootstrap chain moves through levels whose limb
+    counts don't all divide the mesh (e.g. the last level has 1 limb) — those
+    stay replicated rather than failing placement."""
+    nl = mesh.shape["limb"]
+    if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[limb_axis] % nl == 0:
+        spec = [None] * x.ndim
+        spec[limb_axis % x.ndim] = "limb"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.device_put(x, replicated(mesh))
+
+
 def shard_pytree_limb_axis(tree, mesh: Mesh, limb_axis: int = -2):
     """Best-effort placement: arrays whose limb_axis length is divisible by the
     mesh 'limb' size get sharded there; everything else is replicated."""
-    nl = mesh.shape["limb"]
-
-    def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[limb_axis] % nl == 0:
-            spec = [None] * x.ndim
-            spec[limb_axis % x.ndim] = "limb"
-            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, replicated(mesh))
-
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map(
+        lambda x: shard_array_limb_axis(x, mesh, limb_axis), tree)

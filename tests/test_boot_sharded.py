@@ -82,7 +82,7 @@ def test_limb_sharded_full_bootstrap(boot_setup):
     ctx, keys, ct = boot_setup
     m = meshlib.make_mesh(4, limb_shards=4)
     keys_sh = meshlib.shard_pytree_limb_axis(keys, m)
-    ct_sh = ckks.Ciphertext(jax.device_put(ct.c, meshlib.ct_sharding(m)),
+    ct_sh = ckks.Ciphertext(meshlib.shard_array_limb_axis(ct.c, m),
                             ct.size, ct.level, ct.scale)
     f = jax.jit(lambda c_, k_: ckks_boot.regular_bootstrap(ctx, c_, k_))
     out_ref = f(ct, keys)

@@ -48,17 +48,31 @@ def test_nor_xor_xnor():
     np.testing.assert_array_equal(got, ~(B1 ^ B2))
 
 
-def test_mux():
-    sel = tfhe.encrypt(CTX, SK, np.array([True, False, True, False]),
-                       rng.new_key(105))
-    got = tfhe.decrypt(CTX, SK, tfhe.MUX(CTX, BK, sel, CT1, CT2))
-    want = np.where([True, False, True, False], B1, B2)
-    np.testing.assert_array_equal(got, want)
-
-
 def test_gate_chain():
     """(a NAND b) XOR (a OR b) — composition keeps correctness."""
     x = tfhe.NAND(CTX, BK, CT1, CT2)
     y = tfhe.OR(CTX, BK, CT1, CT2)
     got = tfhe.decrypt(CTX, SK, tfhe.XOR(CTX, BK, x, y))
     np.testing.assert_array_equal(got, (~(B1 & B2)) ^ (B1 | B2))
+
+
+def test_mux(monkeypatch):
+    """MUX correctness + cost structure (reference operator.cuh:688-812):
+    two blind rotations (here ONE batched 2B no-keyswitch call) + ONE
+    keyswitch — never a third bootstrap."""
+    boots, switches = [], []
+    orig_boot, orig_ks = tfhe._bootstrap, tfhe.lwe_keyswitch
+    monkeypatch.setattr(tfhe, "_bootstrap",
+                        lambda ctx, bk, ct, keyswitch=True: boots.append(
+                            (ct.a.shape[0], keyswitch))
+                        or orig_boot(ctx, bk, ct, keyswitch=keyswitch))
+    monkeypatch.setattr(tfhe, "lwe_keyswitch",
+                        lambda ctx, bk, s: switches.append(s.a.shape[0])
+                        or orig_ks(ctx, bk, s))
+    sel = tfhe.encrypt(CTX, SK, np.array([True, False, True, False]),
+                       rng.new_key(106))
+    got = tfhe.decrypt(CTX, SK, tfhe.MUX(CTX, BK, sel, CT1, CT2))
+    np.testing.assert_array_equal(
+        got, np.where([True, False, True, False], B1, B2))
+    assert boots == [(8, False)]   # one call, batch 2B=8, pre-keyswitch
+    assert switches == [4]         # one keyswitch on the combined B=4

@@ -63,3 +63,38 @@ def test_bootstrap_unrolled_decrypts():
     g = tfhe.NAND(ctx, bk2, c1, c2)
     np.testing.assert_array_equal(np.asarray(tfhe.decrypt(ctx, sk, g)),
                                   np.array([True, True, True, False]))
+
+
+def test_weak_id_cache_never_aliases_recycled_objects():
+    """Two sequentially-allocated keying objects must never share a cache
+    entry, even if the second lands at the first's recycled id() address
+    (VERDICT r3 weak §5: stale key stream = silent wrong results)."""
+    import gc
+    import jax.numpy as jnp
+
+    cache = tfhe._WeakIdCache()
+
+    class Obj:  # stand-in for a key array (weakref-able, GC-able)
+        pass
+
+    hits = []
+    addr = None
+    for i in range(64):  # loop raises the odds of CPython address reuse
+        o = Obj()
+        if addr is None:
+            addr = id(o)
+        got = cache.get(o, 8)
+        hits.append(got)
+        cache.put(o, 8, f"stream-{i}")
+        assert cache.get(o, 8) == f"stream-{i}"
+        del o
+        gc.collect()
+    assert all(h is None for h in hits)  # no cross-object hit, ever
+    # finalizers evicted everything -> no leak
+    assert len(cache._d) == 0
+
+    # distinct tiles are distinct entries for the same object
+    k = jnp.zeros((4,), jnp.uint32)
+    cache.put(k, 8, "t8")
+    cache.put(k, 16, "t16")
+    assert cache.get(k, 8) == "t8" and cache.get(k, 16) == "t16"
