@@ -291,6 +291,33 @@ def encode_diags_qtilde(ctx: CkksContext, vecs, level: int,
     return ckks.encode_batch_rns(ctx.n, np.stack(vecs), limbs, scale)
 
 
+@jax.jit
+def _ntt_mont_qtilde(res, level_tables):
+    tb, base = level_tables
+    p, pinv, r2, *_ = base.bview()
+    return mm.to_mont(nttm.ntt_fwd(res, tb), p, pinv, r2)
+
+
+def encode_diags_ntt_mont(ctx: CkksContext, vecs, level: int, scale: float):
+    """Full diagonal-plaintext build (encode + NTT + Montgomery) over Q̃,
+    CHUNKED with a host sync per chunk.
+
+    The eager composition of these stages queues every intermediate of
+    every op asynchronously: one 511-diagonal StoC piece at N=2^16 queued
+    tens of GiB of NTT temporaries and OOM'd a 16 GiB chip.  Jitting the
+    NTT+Montgomery tail gives XLA-planned buffers, and the per-chunk
+    readback bounds how many chunks' workspaces can ever be live."""
+    chunk = max(1, (1 << 22) // ctx.n)      # ~64 vectors at N=2^16
+    tables = (ctx.ntt_qp_at(level), ctx.base_qp_at(level))
+    outs = []
+    for i in range(0, len(vecs), chunk):
+        res = encode_diags_qtilde(ctx, vecs[i: i + chunk], level, scale)
+        out = _ntt_mont_qtilde(res, tables)
+        np.asarray(jax.device_get(out[0, 0, :1]))   # bound the async queue
+        outs.append(out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
                  batch_encode, scale_mult: float = 1.0,
                  depth: int = 1) -> Piece:
@@ -324,7 +351,7 @@ def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
 
 def leveled_boot_keys(ctx, key, sk, pieces, aux_lvl: int,
                       compress_keys: bool, extra_steps_lvl: dict = None,
-                      include_giants: bool = True):
+                      include_giants: bool = True, limb_align: int = 1):
     """Galois + relin keys for a bootstrap pipeline, each rotation step's key
     GENERATED AT ITS SHALLOWEST USE LEVEL (ckks.keygen_galois(level=)):
     StoC steps live at deep levels (few active limbs), so their keys are
@@ -340,6 +367,17 @@ def leveled_boot_keys(ctx, key, sk, pieces, aux_lvl: int,
                     step_lvl[b] = min(step_lvl.get(b, 1 << 30), pc.level)
             if g and include_giants:
                 step_lvl[g] = min(step_lvl.get(g, 1 << 30), pc.level)
+    def align(l):
+        """Deepest level <= l whose key limb extent (active + specials)
+        divides limb_align, so the key shards evenly on a limb mesh of
+        that size (costs <= limb_align-1 extra limbs per key)."""
+        while l > 0 and (ctx.active(l) + len(ctx.p_primes)) % limb_align:
+            l -= 1
+        return l
+
+    if limb_align > 1:
+        step_lvl = {s: align(l) for s, l in step_lvl.items()}
+        aux_lvl = align(aux_lvl)
     by_level = {}
     for s, l in step_lvl.items():
         by_level.setdefault(l, []).append(s)
@@ -379,7 +417,8 @@ def _compress_seed(key) -> int:
 def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
                             cfg: BootConfig = None,
                             msg_scale: float = None,
-                            compress_keys: bool = False) -> BootKeys:
+                            compress_keys: bool = False,
+                            limb_align: int = 1) -> BootKeys:
     """Rotation/conj/relin keys + factored-DFT plaintext tables with the
     EvalMod constants folded in (reference Vandermonde builder + galois
     key-index generation, operator.cu:5594-6580).
@@ -414,11 +453,7 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
                    + (2 * bc + 1 if cfg.arcsin_order else 0))
 
     def batch_encode(vecs, level, scale):
-        res = encode_diags_qtilde(ctx, vecs, level, scale)
-        tb = ctx.ntt_qp_at(level)
-        base = ctx.base_qp_at(level)
-        p, pinv, r2, *_ = base.bview()
-        return mm.to_mont(nttm.ntt_fwd(res, tb), p, pinv, r2)
+        return encode_diags_ntt_mont(ctx, vecs, level, scale)
 
     # the full pipeline consumes stoc_level0 + stoc_pieces*pd levels and must
     # leave `base_count` limbs for the final decrypt-capable ciphertext
@@ -438,7 +473,8 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
 
     # conj is first used at ctos_finish (level p1*pd); relin at EvalMod
     gk, rk = leveled_boot_keys(ctx, key, sk, ctos_pieces + stoc_pieces,
-                               aux_lvl=p1 * pd, compress_keys=compress_keys)
+                               aux_lvl=p1 * pd, compress_keys=compress_keys,
+                               limb_align=limb_align)
     return BootKeys(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
                     ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
                     mult_i=ckks.monomial_mult_tables(ctx, n // 2),

@@ -113,7 +113,8 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
                                msg_scale: Optional[float] = None,
                                sparse_hw: Optional[int] = None,
                                less_key_mode: bool = False,
-                               compress_keys: bool = False) -> BootKeysV2:
+                               compress_keys: bool = False,
+                               limb_align: int = 1) -> BootKeysV2:
     """Key + matrix generation for the v2 family.  Piece placement:
       regular: CtoS at levels 0..p1-1, StoC after EvalMod.
       slim/bit/gate: StoC at the chain tail (ending at the last limb), CtoS
@@ -171,7 +172,7 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
     gk, rk = ckks_boot.leveled_boot_keys(
         ctx, key, sk, ctos_pieces + stoc_pieces, aux_lvl=p1,
         compress_keys=compress_keys, extra_steps_lvl=extra,
-        include_giants=not less_key_mode)
+        include_giants=not less_key_mode, limb_align=limb_align)
     swk_to_sparse = swk_to_dense = None
     if sparse_hw is not None:
         k_sp = rng.fold_in(key, 2)
@@ -193,16 +194,8 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
 
 
 def _encoder(ctx):
-    from ..ops import modmath as mm
-    from ..ops import ntt as nttm
-    import jax.numpy as jnp
-
     def batch_encode(vecs, level, scale):
-        res = ckks_boot.encode_diags_qtilde(ctx, vecs, level, scale)
-        tb = ctx.ntt_qp_at(level)
-        base = ctx.base_qp_at(level)
-        p, pinv, r2, *_ = base.bview()
-        return mm.to_mont(nttm.ntt_fwd(res, tb), p, pinv, r2)
+        return ckks_boot.encode_diags_ntt_mont(ctx, vecs, level, scale)
 
     return batch_encode
 

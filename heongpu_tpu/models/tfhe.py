@@ -102,15 +102,21 @@ def _omega_digit_tables(ntt: nttm.NttTables, N: int) -> jnp.ndarray:
     return jnp.asarray(out.astype(np.uint32))
 
 
-def make_context() -> TfheContext:
+def make_context(lwe_n: int = LWE_N) -> TfheContext:
+    """STD128 TFHE context (reference host/tfhe/context.cu:36-57).
+
+    lwe_n < 512 is a TEST-ONLY knob: it shortens the CMux chain (and thus
+    CPU-oracle test time) proportionally while keeping every code path —
+    NOT a secure parameter set."""
     primes = nt.generate_ntt_primes(30, 2, TRLWE_N)
     p1, p2 = primes
     P = p1 * p2
     inv = pow(p1, -1, p2)
     offset = sum((BG // 2) << (32 - (p + 1) * BG_BIT) for p in range(BK_L)) % (1 << 32)
     ntt = nttm.build_ntt_tables(primes, TRLWE_N)
+    assert lwe_n % _RENORM == 0, lwe_n
     return TfheContext(
-        n=LWE_N, N=TRLWE_N, k=TRLWE_K, l=BK_L, bg_bit=BG_BIT,
+        n=lwe_n, N=TRLWE_N, k=TRLWE_K, l=BK_L, bg_bit=BG_BIT,
         ks_base_bit=KS_BASE_BIT, ks_length=KS_LENGTH, primes=tuple(primes),
         ntt=ntt,
         p1p2_mod32=jnp.uint32(P % (1 << 32)),
@@ -217,9 +223,9 @@ class Ciphertext:
     variance: float = 0.0
 
 
-def keygen_secret(key) -> SecretKey:
+def keygen_secret(key, lwe_n: int = LWE_N) -> SecretKey:
     k1, k2 = rng.split(key)
-    lwe = rng.randint(k1, (LWE_N,), 0, 2).astype(U32)
+    lwe = rng.randint(k1, (lwe_n,), 0, 2).astype(U32)
     rlwe = rng.randint(k2, (TRLWE_N,), 0, 2).astype(U32)
     return SecretKey(lwe, rlwe)
 
@@ -816,11 +822,6 @@ def _bootstrap(ctx, bk, ct: Ciphertext, keyswitch: bool = True):
             ctx, bk, _fused_key_stream(bk.bk, tile, unrolled=False), ct,
             _fused_tabs(ctx, tile), tile=tile, keyswitch=keyswitch)
     return bootstrap_raw(ctx, bk, ct, keyswitch=keyswitch)
-
-
-def _const_ct(B, val) -> Ciphertext:
-    return Ciphertext(jnp.zeros((B, LWE_N), U32),
-                      jnp.full((B,), val, U32))
 
 
 def NAND(ctx, bk, c1: Ciphertext, c2: Ciphertext) -> Ciphertext:

@@ -59,10 +59,10 @@ def _slc(ct: tfhe.Ciphertext, lo: int, hi: int) -> tfhe.Ciphertext:
     return tfhe.Ciphertext(ct.a[lo:hi], ct.b[lo:hi], variance=ct.variance)
 
 
-def _trivial(nbits: int, value: bool) -> tfhe.Ciphertext:
+def _trivial(nbits: int, value: bool, n: int = tfhe.LWE_N) -> tfhe.Ciphertext:
     """Noise-free LWE encoding of a constant bit (a=0, b=±mu)."""
     b = MU if value else (jnp.uint32(0) - MU)
-    return tfhe.Ciphertext(jnp.zeros((nbits, tfhe.LWE_N), U32),
+    return tfhe.Ciphertext(jnp.zeros((nbits, n), U32),
                            jnp.full((nbits,), b, U32))
 
 
@@ -131,7 +131,7 @@ def _shift_gp(g: tfhe.Ciphertext, p: tfhe.Ciphertext, count: int, width: int,
     gb = g.b.reshape(count, width)
     pa = p.a.reshape(count, width, -1)
     pb = p.b.reshape(count, width)
-    pad = _trivial(count * offset, False)
+    pad = _trivial(count * offset, False, n=g.a.shape[-1])
     pad_a = pad.a.reshape(count, offset, -1)
     pad_b = pad.b.reshape(count, offset)
     gs = tfhe.Ciphertext(
@@ -206,18 +206,18 @@ def _add_core(ctx, bk, xbits: tfhe.Ciphertext, ybits: tfhe.Ciphertext,
     # carries into each position: c_i = g[i-1] (c_0 = carry_in handled above)
     ga = g.a.reshape(count, width, -1)
     gb = g.b.reshape(count, width)
-    pad = _trivial(count, False)
+    pad = _trivial(count, False, n=g.a.shape[-1])
     carry_a = jnp.concatenate([pad.a.reshape(count, 1, -1),
                                ga[:, :width - 1]], axis=1)
     carry_b = jnp.concatenate([pad.b.reshape(count, 1),
                                gb[:, :width - 1]], axis=1)
-    carries = tfhe.Ciphertext(carry_a.reshape(-1, tfhe.LWE_N),
+    carries = tfhe.Ciphertext(carry_a.reshape(-1, carry_a.shape[-1]),
                               carry_b.reshape(-1), variance=g.variance)
     if carry_in is not None:
         # c_0 = carry_in exactly
         ca = carries.a.reshape(count, width, -1).at[:, 0].set(carry_in.a)
         cb = carries.b.reshape(count, width).at[:, 0].set(carry_in.b)
-        carries = tfhe.Ciphertext(ca.reshape(-1, tfhe.LWE_N), cb.reshape(-1),
+        carries = tfhe.Ciphertext(ca.reshape(-1, ca.shape[-1]), cb.reshape(-1),
                                   variance=max(carries.variance,
                                                carry_in.variance))
 
@@ -238,7 +238,7 @@ def sub(ctx, bk, x: HUint, y: HUint) -> Tuple[HUint, tfhe.Ciphertext]:
     """x - y mod 2^width; second return is the NO-borrow bit (1 if x >= y)."""
     assert x.width == y.width and x.count == y.count
     ynot = tfhe.NOT(ctx, y.bits)
-    one = _trivial(x.count, True)
+    one = _trivial(x.count, True, n=x.bits.a.shape[-1])
     s, cout = _add_core(ctx, bk, x.bits, ynot, x.count, x.width, carry_in=one)
     return HUint(s, x.width, x.count), cout
 
@@ -269,21 +269,21 @@ def eq(ctx, bk, x: HUint, y: HUint) -> tfhe.Ciphertext:
         half = width // 2
         a_ = cur.a.reshape(C, width, -1)
         b_ = cur.b.reshape(C, width)
-        lo = tfhe.Ciphertext(a_[:, :half].reshape(-1, tfhe.LWE_N),
+        lo = tfhe.Ciphertext(a_[:, :half].reshape(-1, a_.shape[-1]),
                              b_[:, :half].reshape(-1), variance=cur.variance)
-        hi = tfhe.Ciphertext(a_[:, half:2 * half].reshape(-1, tfhe.LWE_N),
+        hi = tfhe.Ciphertext(a_[:, half:2 * half].reshape(-1, a_.shape[-1]),
                              b_[:, half:2 * half].reshape(-1),
                              variance=cur.variance)
         merged = tfhe._bootstrap(ctx, bk, _pre_or(lo, hi))
         if width % 2:
-            tail = tfhe.Ciphertext(a_[:, -1:].reshape(-1, tfhe.LWE_N),
+            tail = tfhe.Ciphertext(a_[:, -1:].reshape(-1, a_.shape[-1]),
                                    b_[:, -1:].reshape(-1),
                                    variance=cur.variance)
             ma = merged.a.reshape(C, half, -1)
             mb = merged.b.reshape(C, half)
             merged = tfhe.Ciphertext(
                 jnp.concatenate([ma, tail.a.reshape(C, 1, -1)], axis=1
-                                ).reshape(-1, tfhe.LWE_N),
+                                ).reshape(-1, a_.shape[-1]),
                 jnp.concatenate([mb, tail.b.reshape(C, 1)], axis=1).reshape(-1),
                 variance=max(merged.variance, tail.variance))
             width = half + 1
@@ -303,15 +303,16 @@ def shift_left(x: HUint, k: int) -> HUint:
     if k == 0:
         return x
     if k >= x.width:
-        return HUint(_trivial(x.count * x.width, False), x.width, x.count)
+        return HUint(_trivial(x.count * x.width, False,
+                              n=x.bits.a.shape[-1]), x.width, x.count)
     a = x.bits.a.reshape(x.count, x.width, -1)
     b = x.bits.b.reshape(x.count, x.width)
-    pad = _trivial(x.count * k, False)
+    pad = _trivial(x.count * k, False, n=a.shape[-1])
     na = jnp.concatenate([pad.a.reshape(x.count, k, -1), a[:, : x.width - k]],
                          axis=1)
     nb = jnp.concatenate([pad.b.reshape(x.count, k), b[:, : x.width - k]],
                          axis=1)
-    ct = tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+    ct = tfhe.Ciphertext(na.reshape(-1, na.shape[-1]), nb.reshape(-1),
                          variance=x.bits.variance)
     return HUint(ct, x.width, x.count)
 
@@ -321,13 +322,14 @@ def shift_right(x: HUint, k: int) -> HUint:
     if k == 0:
         return x
     if k >= x.width:
-        return HUint(_trivial(x.count * x.width, False), x.width, x.count)
+        return HUint(_trivial(x.count * x.width, False,
+                              n=x.bits.a.shape[-1]), x.width, x.count)
     a = x.bits.a.reshape(x.count, x.width, -1)
     b = x.bits.b.reshape(x.count, x.width)
-    pad = _trivial(x.count * k, False)
+    pad = _trivial(x.count * k, False, n=a.shape[-1])
     na = jnp.concatenate([a[:, k:], pad.a.reshape(x.count, k, -1)], axis=1)
     nb = jnp.concatenate([b[:, k:], pad.b.reshape(x.count, k)], axis=1)
-    ct = tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+    ct = tfhe.Ciphertext(na.reshape(-1, na.shape[-1]), nb.reshape(-1),
                          variance=x.bits.variance)
     return HUint(ct, x.width, x.count)
 
@@ -349,10 +351,10 @@ def _extend(x: HUint, width: int) -> HUint:
         return x
     a = x.bits.a.reshape(x.count, x.width, -1)
     b = x.bits.b.reshape(x.count, x.width)
-    pad = _trivial(x.count * (width - x.width), False)
-    na = jnp.concatenate([a, pad.a.reshape(x.count, -1, tfhe.LWE_N)], axis=1)
+    pad = _trivial(x.count * (width - x.width), False, n=a.shape[-1])
+    na = jnp.concatenate([a, pad.a.reshape(x.count, -1, a.shape[-1])], axis=1)
     nb = jnp.concatenate([b, pad.b.reshape(x.count, -1)], axis=1)
-    return HUint(tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+    return HUint(tfhe.Ciphertext(na.reshape(-1, na.shape[-1]), nb.reshape(-1),
                                  variance=x.bits.variance), width, x.count)
 
 
@@ -371,13 +373,13 @@ def mul(ctx, bk, x: HUint, y: HUint) -> HUint:
 
     # partial product j: (x AND broadcast(y_j)) << j, truncated to W bits
     # build all C*W*W pre-comps, one bootstrap
-    xa_r = jnp.broadcast_to(xa[:, None], (C, W, W, tfhe.LWE_N))
+    xa_r = jnp.broadcast_to(xa[:, None], (C, W, W, xa.shape[-1]))
     xb_r = jnp.broadcast_to(xb[:, None], (C, W, W))
-    ya_r = jnp.broadcast_to(ya[:, :, None], (C, W, W, tfhe.LWE_N))
+    ya_r = jnp.broadcast_to(ya[:, :, None], (C, W, W, ya.shape[-1]))
     yb_r = jnp.broadcast_to(yb[:, :, None], (C, W, W))
-    xs = tfhe.Ciphertext(xa_r.reshape(-1, tfhe.LWE_N), xb_r.reshape(-1),
+    xs = tfhe.Ciphertext(xa_r.reshape(-1, xa_r.shape[-1]), xb_r.reshape(-1),
                          variance=x.bits.variance)
-    ys = tfhe.Ciphertext(ya_r.reshape(-1, tfhe.LWE_N), yb_r.reshape(-1),
+    ys = tfhe.Ciphertext(ya_r.reshape(-1, ya_r.shape[-1]), yb_r.reshape(-1),
                          variance=y.bits.variance)
     pp = tfhe._bootstrap(ctx, bk, _pre_and(xs, ys))     # (C*W*W,)
     ppa = pp.a.reshape(C, W, W, -1)
@@ -389,12 +391,12 @@ def mul(ctx, bk, x: HUint, y: HUint) -> HUint:
         if j == 0:
             ra, rb = ppa[:, 0], ppb[:, 0]
         else:
-            pad = _trivial(C * j, False)
-            ra = jnp.concatenate([pad.a.reshape(C, j, tfhe.LWE_N),
+            pad = _trivial(C * j, False, n=ppa.shape[-1])
+            ra = jnp.concatenate([pad.a.reshape(C, j, ppa.shape[-1]),
                                   ppa[:, j, : W - j]], axis=1)
             rb = jnp.concatenate([pad.b.reshape(C, j), ppb[:, j, : W - j]],
                                  axis=1)
-        rows.append(HUint(tfhe.Ciphertext(ra.reshape(-1, tfhe.LWE_N),
+        rows.append(HUint(tfhe.Ciphertext(ra.reshape(-1, ra.shape[-1]),
                                           rb.reshape(-1),
                                           variance=pp.variance), W, C))
 
@@ -445,8 +447,8 @@ def _msb(x: HUint) -> tfhe.Ciphertext:
 def neg(ctx, bk, x: HUint) -> HUint:
     """-x (two's complement): NOT then +1 via the carry-in path."""
     xnot = tfhe.NOT(ctx, x.bits)
-    zero = _trivial(x.count * x.width, False)
-    one = _trivial(x.count, True)
+    zero = _trivial(x.count * x.width, False, n=x.bits.a.shape[-1])
+    one = _trivial(x.count, True, n=x.bits.a.shape[-1])
     s, _ = _add_core(ctx, bk, xnot, zero, x.count, x.width, carry_in=one)
     return HUint(s, x.width, x.count)
 
@@ -477,6 +479,6 @@ def shift_right_arith(ctx, x: HUint, k: int) -> HUint:
     sb = jnp.broadcast_to(b[:, -1:], (x.count, k))
     na = jnp.concatenate([a[:, k:], sa], axis=1)
     nb = jnp.concatenate([b[:, k:], sb], axis=1)
-    ct = tfhe.Ciphertext(na.reshape(-1, tfhe.LWE_N), nb.reshape(-1),
+    ct = tfhe.Ciphertext(na.reshape(-1, na.shape[-1]), nb.reshape(-1),
                          variance=x.bits.variance)
     return HUint(ct, x.width, x.count)

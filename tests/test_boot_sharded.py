@@ -30,7 +30,8 @@ def boot_setup():
     pk = ckks.keygen_public(ctx, rng.new_key(62), sk)
     cfg = ckks_boot.BootConfig(taylor_degree=3, exp_squarings=1,
                                ctos_pieces=2, stoc_pieces=2)
-    keys = ckks_boot.generate_bootstrap_keys(ctx, rng.new_key(63), sk, cfg)
+    keys = ckks_boot.generate_bootstrap_keys(ctx, rng.new_key(63), sk, cfg,
+                                             limb_align=4)
     z = np.random.default_rng(0).uniform(-0.5, 0.5, 128)
     ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z, scale=keys.msg_scale),
                       rng.new_key(64))
@@ -60,7 +61,9 @@ def test_boot_keys_genuinely_sharded(boot_setup):
     ctx, keys, _ = boot_setup
     m = meshlib.make_mesh(4, limb_shards=4)
     keys_sh = meshlib.shard_pytree_limb_axis(keys, m)
-    # every Galois key half must be split 4-way on its limb axis
+    # keys are generated at their use level (mixed limb extents) but
+    # limb_align=4 rounds each generation level so every limb extent
+    # divides the mesh: ALL Galois keys must genuinely split 4-way
     checked = 0
     for g, kk in keys_sh.gk.keys.items():
         full_l = kk.k0.shape[1]

@@ -12,8 +12,11 @@ pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def setup():
-    ctx = tfhe.make_context()
-    sk = tfhe.keygen_secret(rng.new_key(41))
+    # lwe_n=128 (test-only knob): 4x shorter CMux chain so the CPU-oracle
+    # huint suite stays re-runnable (~quarter the time of STD128); the
+    # STD128 production parameters are covered by test_tfhe.py
+    ctx = tfhe.make_context(lwe_n=128)
+    sk = tfhe.keygen_secret(rng.new_key(41), lwe_n=128)
     bk = tfhe.keygen_boot(ctx, rng.new_key(42), sk)
     return ctx, sk, bk
 
