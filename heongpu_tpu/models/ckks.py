@@ -179,6 +179,41 @@ def make_context(n: int,
     validate_security(n, q_primes + p_primes, sec_level)
     if scale_bits is None:
         scale_bits = q_bits[1] if len(q_bits) > 1 else q_bits[0] - 1
+
+    # Deep-chain scale stability: a ct-ct multiply SQUARES the scale and the
+    # rescale divides by actual primes, so the log-offset e between working
+    # scale and its target obeys e <- 2e - d (d = prime's offset): any
+    # one-sided prime set makes e blow up doubly-exponentially and the
+    # message scale outgrows the tail modulus (found via the N>=2^13
+    # bootstrap, where prime spacing ~2N forces large offsets).  Fix: anchor
+    # default_scale at the scale primes' geometric mean and ORDER them so
+    # the greedy e <- 2e - d recursion (consumption = reverse chain order)
+    # stays balanced.
+    sgroup = [i for i, b in enumerate(q_bits) if b == scale_bits]
+    if len(sgroup) >= 4:
+        import math as _math
+        sprimes = [q_primes[i] for i in sgroup]
+        logs = sorted(_math.log2(p) for p in sprimes)
+        anchor = sum(logs) / len(logs)
+        bylog = sorted(sprimes, key=_math.log2)
+        # complementary pairing: the j-th smallest with the j-th largest, so
+        # every CONSECUTIVE PAIR's product ≈ anchor² (pair offsets ~ the
+        # residual spread, not the full one-sided spread).  A composite
+        # (base_count=2) rescale consumes exactly one such pair; eval_exp_sin
+        # keeps its plain-constant rescales bc-wide so pair alignment holds.
+        consume = []
+        lo, hi = 0, len(bylog) - 1
+        while lo < hi:
+            consume += [bylog[lo], bylog[hi]]
+            lo, hi = lo + 1, hi - 1
+        if lo == hi:
+            consume.append(bylog[lo])
+        consume.reverse()          # chain order: last prime consumed first
+        for i, pr in zip(sgroup, consume):
+            q_primes[i] = pr
+        default_scale = float(2.0 ** anchor)
+    else:
+        default_scale = float(2.0 ** scale_bits)
     if len(q_bits) > 2 and any(abs(b - scale_bits) > 1 for b in q_bits[1:]):
         import warnings
         warnings.warn(
@@ -217,7 +252,7 @@ def make_context(n: int,
     return CkksContext(
         n=n, logn=logn, k=k,
         q_primes=tuple(q_primes), p_primes=tuple(p_primes),
-        default_scale=float(2.0 ** scale_bits), sec_level=sec_level,
+        default_scale=default_scale, sec_level=sec_level,
         ks_type=ks_type, alpha=alpha,
         ntt_qp=nttm.build_ntt_tables(q_primes + p_primes, n),
         base_q=rns.Base.build(q_primes),
@@ -501,6 +536,35 @@ def encode_host(ctx: CkksContext, values, scale: Optional[float] = None,
     res = coeffs_to_rns(a, ctx.q_primes[:ka])
     m_ntt = nttm.ntt_fwd(jnp.asarray(res), ctx.ntt_q(level))
     return Plaintext(m_ntt, level, scale)
+
+
+def encode_const(ctx: CkksContext, value, scale: float,
+                 level: int = 0) -> Plaintext:
+    """EXACT encode of a constant (all slots equal `value`): the embedding
+    of a constant vector is m(X) = a + b·X^(n/2) with a = round(Re v · S),
+    b = round(Im v · S) (X^(n/2) evaluates to i on every slot of the 5^j
+    half-orbit — same fact monomial_mult_tables uses).  The integers are
+    computed exactly (Fraction), so the residues are exact at ANY scale.
+
+    This matters for deep chains: the float/df64 encode path corrupts
+    residues once |v|·S exceeds the float mantissa, and the composite-scale
+    EvalMod's working scale drifts well past 2^52 (see ckks_boot
+    eval_exp_sin) — the bug class that silently destroyed the N>=2^13
+    bootstrap message while N=256 (smaller prime drift) worked."""
+    from fractions import Fraction
+    v = complex(value)
+    S = Fraction(scale)
+    a = int(round(Fraction(v.real) * S))
+    b = int(round(Fraction(v.imag) * S))
+    ka = ctx.active(level)
+    m = np.zeros((ka, ctx.n), np.uint32)
+    for i in range(ka):
+        q = int(ctx.q_primes[i])
+        m[i, 0] = a % q
+        if b:
+            m[i, ctx.n // 2] = b % q
+    m_ntt = nttm.ntt_fwd(jnp.asarray(m), ctx.ntt_q(level))
+    return Plaintext(m_ntt, level, float(scale))
 
 
 def encode_coeff(ctx: CkksContext, values, scale: Optional[float] = None,

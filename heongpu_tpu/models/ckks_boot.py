@@ -444,13 +444,14 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
     ctos_mats = build_dft_pieces(n, cfg.ctos_pieces, True, c_in / 2)
     stoc_mats = build_dft_pieces(n, cfg.stoc_pieces, False, c_out)
     p1 = len(ctos_mats)
-    # EvalMod depth: 1 level for the leading multiply_plain, base_count per
-    # Horner ct*ct step and per squaring (composite scale rescales bc times)
+    # EvalMod depth: bc levels for the leading multiply_plain (bc-wide so
+    # composite-pair prime alignment holds, see eval_exp_sin._next_primes),
+    # base_count per Horner ct*ct step and per squaring, 3*bc for arcsine
     bc = cfg.base_count
     pd = cfg.piece_depth
-    stoc_level0 = (p1 * pd + 1 + (cfg.taylor_degree - 1) * bc
+    stoc_level0 = (p1 * pd + bc + (cfg.taylor_degree - 1) * bc
                    + cfg.exp_squarings * bc
-                   + (2 * bc + 1 if cfg.arcsin_order else 0))
+                   + (3 * bc if cfg.arcsin_order else 0))
 
     def batch_encode(vecs, level, scale):
         return encode_diags_ntt_mont(ctx, vecs, level, scale)
@@ -576,8 +577,9 @@ def matvec_piece(ctx: CkksContext, ct: Ciphertext, piece: Piece,
 
 
 def _const_pt(ctx, ct, value, scale):
-    return ckks.encode(ctx, np.full(ctx.n // 2, value, np.complex128),
-                       scale=scale, level=ct.level)
+    # exact at any scale (the drifted EvalMod working scale exceeds the
+    # float encode path's mantissa — see ckks.encode_const)
+    return ckks.encode_const(ctx, value, scale, level=ct.level)
 
 
 def _mul_ct(ctx, a, b, rk, times: int = 1) -> Ciphertext:
@@ -596,9 +598,23 @@ def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
     r = keys.cfg.exp_squarings
     bc = keys.cfg.base_count
     coefs = [(1j ** j) / math.factorial(j) for j in range(d + 1)]
-    acc = ckks.rescale(ctx, ckks.multiply_plain(
-        ctx, x, _const_pt(ctx, x, coefs[d],
-                          float(ctx.q_primes[ctx.active(x.level) - 1]))))
+
+    def _next_primes(ct):
+        """Product of the next bc primes to be consumed: plain-constant
+        rescales stay bc-wide so composite-pair prime alignment holds (the
+        scale primes are ordered in complementary pairs; a lone 1-prime
+        rescale would shift every later pair off its partner and reopen
+        the 2^r-amplified scale drift)."""
+        ka = ctx.active(ct.level)
+        s = 1.0
+        for j in range(bc):
+            s *= float(ctx.q_primes[ka - 1 - j])
+        return s
+
+    acc = ckks.multiply_plain(ctx, x, _const_pt(ctx, x, coefs[d],
+                                                _next_primes(x)))
+    for _ in range(bc):
+        acc = ckks.rescale(ctx, acc)
     acc = ckks.add_plain(ctx, acc, _const_pt(ctx, acc, coefs[d - 1], acc.scale))
     for j in range(d - 2, -1, -1):
         xj = ckks.mod_drop(ctx, x, acc.level - x.level)
@@ -611,9 +627,10 @@ def eval_exp_sin(ctx, x: Ciphertext, keys: BootKeys) -> Ciphertext:
     if keys.cfg.arcsin_order:
         # w = v*(1 - v^2/24): the s^3/6 arcsine term (see BootConfig)
         v2 = _mul_ct(ctx, v, v, keys.rk, times=bc)
-        inner = ckks.rescale(ctx, ckks.multiply_plain(
-            ctx, v2, _const_pt(ctx, v2, -1.0 / 24.0,
-                               float(ctx.q_primes[ctx.active(v2.level) - 1]))))
+        inner = ckks.multiply_plain(
+            ctx, v2, _const_pt(ctx, v2, -1.0 / 24.0, _next_primes(v2)))
+        for _ in range(bc):
+            inner = ckks.rescale(ctx, inner)
         inner = ckks.add_plain(ctx, inner,
                                _const_pt(ctx, inner, 1.0, inner.scale))
         vd = ckks.mod_drop(ctx, v, inner.level - v.level)

@@ -213,8 +213,7 @@ def eval_cos_engine(ctx: CkksContext, t: Ciphertext, keys: BootKeysV2,
     r = cfg.double_angles
     shift = phase / ((1 << r) * cfg.R)
     if abs(shift) > 1e-30:
-        pt = ckks.encode(ctx, np.full(ctx.n // 2, shift, np.complex128),
-                         scale=t.scale, level=t.level)
+        pt = ckks.encode_const(ctx, shift, t.scale, level=t.level)
         y = ckks.add_plain(ctx, t, pt)
     else:
         y = t
@@ -223,8 +222,7 @@ def eval_cos_engine(ctx: CkksContext, t: Ciphertext, keys: BootKeysV2,
         sq = ckks.rescale(ctx, ckks.relinearize(
             ctx, ckks.multiply(ctx, c, c), keys.rk))
         two_sq = ckks.add(ctx, sq, sq)
-        one = ckks.encode(ctx, np.ones(ctx.n // 2), scale=two_sq.scale,
-                          level=two_sq.level)
+        one = ckks.encode_const(ctx, 1.0, two_sq.scale, level=two_sq.level)
         c = ckks.sub_plain(ctx, two_sq, one)
     return c
 
@@ -353,8 +351,7 @@ def _affine(ctx, c: Ciphertext, mul: float, add: float) -> Ciphertext:
         out = ckks.negate(ctx, out)
     out = Ciphertext(out.c, out.size, out.level, out.scale / abs(mul))
     if abs(add) > 1e-30:
-        pt = ckks.encode(ctx, np.full(ctx.n // 2, add, np.complex128),
-                         scale=out.scale, level=out.level)
+        pt = ckks.encode_const(ctx, add, out.scale, level=out.level)
         out = ckks.add_plain(ctx, out, pt)
     return out
 

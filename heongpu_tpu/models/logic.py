@@ -95,8 +95,7 @@ def _ckks_align(ctx, a, b):
 
 
 def _ckks_one(ctx, like):
-    return ckks_m.encode(ctx, np.ones(ctx.n // 2), scale=like.scale,
-                         level=like.level)
+    return ckks_m.encode_const(ctx, 1.0, like.scale, level=like.level)
 
 
 def ckks_not(ctx, a, *_):
@@ -150,7 +149,7 @@ def _align_to(ctx, a, level: int, scale: float):
     if a.level < level - 1:
         a = ckks_m.mod_drop(ctx, a, level - 1 - a.level)
     q_drop = float(ctx.q_primes[ctx.active(a.level) - 1])
-    pt = ckks_m.encode(ctx, np.ones(ctx.n // 2),
-                       scale=scale * q_drop / a.scale, level=a.level)
+    pt = ckks_m.encode_const(ctx, 1.0, scale * q_drop / a.scale,
+                             level=a.level)
     out = ckks_m.rescale(ctx, ckks_m.multiply_plain(ctx, a, pt))
     return ckks_m.Ciphertext(out.c, out.size, out.level, scale)

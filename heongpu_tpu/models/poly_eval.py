@@ -88,8 +88,7 @@ def gen_powers(ctx: CkksContext, y: Ciphertext, max_pow: int,
 
 
 def _const_full(ctx, value, scale, level):
-    return ckks.encode(ctx, np.full(ctx.n // 2, value, np.complex128),
-                       scale=scale, level=level)
+    return ckks.encode_const(ctx, value, scale, level=level)
 
 
 def _leaf_block(ctx: CkksContext, coeffs: Sequence[complex],
