@@ -93,7 +93,15 @@ def main():
     from heongpu_tpu.utils import serializer
     cache_dir = os.path.join(os.path.dirname(CACHE), ".bootcache")
     os.makedirs(cache_dir, exist_ok=True)
-    tag = (f"{args.variant}_n{N}_d{DEPTH}_p{args.pieces}"
+    # context fingerprint: cached keys are RNS arrays whose limb ROWS are
+    # bound to the context's prime ORDER — a context change (e.g. the
+    # round-4 complementary scale-prime pairing reordered q_primes) must
+    # invalidate the cache, or stale keys silently decrypt garbage
+    import hashlib
+    fp = hashlib.md5(repr((tuple(int(q) for q in ctx.q_primes),
+                           tuple(int(p) for p in ctx.p_primes),
+                           float(ctx.default_scale))).encode()).hexdigest()[:8]
+    tag = (f"{args.variant}_n{N}_d{DEPTH}_c{fp}_p{args.pieces}"
            + (f"x{args.stoc_pieces}" if args.stoc_pieces else "")
            + f"_t{args.taylor}"
            f"_s{args.squarings}_hw{args.hw}_a{args.alpha}"
@@ -195,6 +203,25 @@ def main():
         print(f"[dbg] exp_sin: max|got-want| = "
               f"{np.max(np.abs(gs - want_s)):.3e}", flush=True)
 
+    # --- trusted timing helpers (see heongpu memory: the tunnel acks
+    # enqueue; only host readback syncs, and reps must be serialized by a
+    # data dependency) ---
+    zdep = jax.jit(lambda c_, d_: c_ + (jnp.ravel(d_)[0] & jnp.uint32(0)))
+
+    def _dep_of(o):
+        return o[0].c if isinstance(o, tuple) else o.c
+
+    def _zdep_warm(src_c):
+        np.asarray(jax.device_get(jnp.ravel(zdep(src_c, src_c))[:1]))
+
+    def _chain_time(dispatch, src_c, reps):
+        t0_ = time.time()
+        out_ = dispatch(src_c)
+        for _ in range(reps - 1):
+            out_ = dispatch(zdep(src_c, _dep_of(out_)))
+        np.asarray(jax.device_get(jnp.ravel(_dep_of(out_))[:8]))
+        return time.time() - t0_, out_
+
     if args.phased and args.variant == "regular":
         # piece-level programs: XLA compile time is superlinear in program
         # size and the tunnel's compile helper drops oversized requests
@@ -248,25 +275,28 @@ def main():
         out = f_stoc(s0v_, s1v_, keys)
         jax.block_until_ready(out.c)
         print(f"phase StoC compile+run: {time.time()-t0:.1f} s", flush=True)
-        # per-phase steady-state latencies.  The tunnel's block_until_ready
-        # can return before execution finishes; the only trusted sync is a
-        # host readback, whose ~30 ms RTT is subtracted via a null baseline.
-        def _sync(o):
-            c = o[0].c if isinstance(o, tuple) else o.c
-            np.asarray(jax.device_get(c[0, 0, :8]))
-        f_null = jax.jit(lambda c_: c_ + jnp.uint32(0))
-        _sync(ckks.Ciphertext(f_null(ct.c), 2, ct.level, ct.scale))
-        t0 = time.time()
-        _sync(ckks.Ciphertext(f_null(ct.c), 2, ct.level, ct.scale))
-        rtt = time.time() - t0
-        for name, fn in (("ctos", lambda: f_ctos(ct, keys)),
-                         ("evalmod", lambda: f_mod(t0v_, keys)),
-                         ("stoc", lambda: f_stoc(s0v_, s1v_, keys))):
-            t0 = time.time()
-            _sync(fn())
-            phase_ms[name] = round(1e3 * (time.time() - t0 - rtt), 1)
-        print(f"phase latencies (ms, rtt {rtt*1e3:.0f} subtracted): "
-              f"{phase_ms}", flush=True)
+        # Per-phase steady-state latencies, chained-DELTA protocol.  The
+        # tunnel acks enqueue (not completion) and a single-shot readback
+        # carries per-program dispatch overhead that inflates small-N phases
+        # (round 4's N=2^13 phase sum exceeded the end-to-end total 5.7x
+        # with the old null-baseline protocol).  Here k runs are serialized
+        # by a data-dependent zero and the reported time is
+        # (T(3 runs) - T(1 run)) / 2: constant dispatch + RTT cancels.
+        for name, dispatch, src in (
+                ("ctos", lambda c_: f_ctos(
+                    ckks.Ciphertext(c_, ct.size, ct.level, ct.scale), keys),
+                 ct.c),
+                ("evalmod", lambda c_: f_mod(
+                    ckks.Ciphertext(c_, t0v_.size, t0v_.level, t0v_.scale),
+                    keys), t0v_.c),
+                ("stoc", lambda c_: f_stoc(
+                    ckks.Ciphertext(c_, s0v_.size, s0v_.level, s0v_.scale),
+                    s1v_, keys), s0v_.c)):
+            _zdep_warm(src)
+            t1, _ = _chain_time(dispatch, src, 1)
+            t3, _ = _chain_time(dispatch, src, 3)
+            phase_ms[name] = round(1e3 * (t3 - t1) / 2, 1)
+        print(f"phase latencies (ms, chained delta): {phase_ms}", flush=True)
     else:
         f = jax.jit(entry)
         t0 = time.time()
@@ -274,13 +304,20 @@ def main():
         jax.block_until_ready(out.c)
         print(f"first call (compile+run): {time.time()-t0:.1f} s", flush=True)
 
+    # end-to-end latency: single-shot reps (includes ~30-50 ms tunnel RTT)
+    # plus the chained-delta number, which is the headline
     times = []
     for _ in range(args.reps):
         t0 = time.time()
         o_ = f(ctx, ct, keys)
         np.asarray(jax.device_get(o_.c[0, 0, :8]))   # trusted sync
         times.append(time.time() - t0)
-    lat_ms = 1e3 * min(times)
+    _zdep_warm(ct.c)
+    t1, _ = _chain_time(lambda c_: f(
+        ctx, ckks.Ciphertext(c_, ct.size, ct.level, ct.scale), keys), ct.c, 1)
+    t3, out = _chain_time(lambda c_: f(
+        ctx, ckks.Ciphertext(c_, ct.size, ct.level, ct.scale), keys), ct.c, 3)
+    lat_ms = 1e3 * (t3 - t1) / 2
 
     got = ckks.decode(ctx, ckks.decrypt(ctx, sk, out))
     errs = np.abs(got.real - z)

@@ -151,7 +151,8 @@ def make_context(n: int,
                  sec_level: str = "none",
                  ks_type: str = "I",
                  alpha: int = 1,
-                 p_count: Optional[int] = None) -> CkksContext:
+                 p_count: Optional[int] = None,
+                 pair_scale_primes: Optional[bool] = None) -> CkksContext:
     """q_bits: bit sizes of the Q chain, q_bits[0] = base prime; the scale
     primes should sit near 2**scale_bits.  `alpha` 30-bit special primes are
     appended; ks_type "II" uses hybrid keyswitching with digits of `alpha`
@@ -161,7 +162,17 @@ def make_context(n: int,
     P much larger than any digit, dividing keyswitch noise by
     2^(30*(p_count-alpha)) — essential headroom at large N where the per-op
     slot noise grows ~linearly with n under <2^30-prime scales (the analog of
-    the reference's 60-bit special prime over ~50-bit digits)."""
+    the reference's 60-bit special prime over ~50-bit digits).
+
+    pair_scale_primes (default: auto = on when >= 4 equal-size scale primes):
+    complementary-pair the scale primes and anchor ``default_scale`` at their
+    geometric mean (a non-power-of-two ~2^scale_bits).  This keeps the
+    working scale stable through deep chains (the e <- 2e - d rescale
+    recursion stays balanced; see the comment below) and is REQUIRED for the
+    bootstrap precision configs at N >= 2^13.  Pass False to keep the primes
+    in generation order and default_scale = 2^scale_bits exactly (the
+    pre-round-4 behavior); explicit ``scale=`` arguments to encode() are
+    honored either way."""
     logn = n.bit_length() - 1
     assert 1 << logn == n
     if ks_type == "I":
@@ -189,8 +200,14 @@ def make_context(n: int,
     # default_scale at the scale primes' geometric mean and ORDER them so
     # the greedy e <- 2e - d recursion (consumption = reverse chain order)
     # stays balanced.
-    sgroup = [i for i, b in enumerate(q_bits) if b == scale_bits]
-    if len(sgroup) >= 4:
+    # index 0 (the decrypt base prime) is never consumed by rescale, so it
+    # must not join the pairing even when its bit size matches: including it
+    # would shift every consumed pair off its partner AND silently swap
+    # which prime serves as the base.
+    sgroup = [i for i, b in enumerate(q_bits) if b == scale_bits and i > 0]
+    if pair_scale_primes is None:
+        pair_scale_primes = len(sgroup) >= 4
+    if pair_scale_primes and len(sgroup) >= 4:
         import math as _math
         sprimes = [q_primes[i] for i in sgroup]
         logs = sorted(_math.log2(p) for p in sprimes)
@@ -830,11 +847,23 @@ def _keyswitch_poly(ctx, poly_ntt, k0, k1, level):
             ctx.base_qp_at(level), in_ntt=True, out_ntt=True,
             ntt_q_level=ctx.ntt_q(level))
     k_gen = k0.shape[1] - len(ctx.p_primes)
+    _check_key_level(ctx, ka, k_gen)
     k0s = ringkit.slice_key_level(k0, ka, k_gen)
     k1s = ringkit.slice_key_level(k1, ka, k_gen)
     return ringkit.keyswitch_core(
         poly_ntt, k0s, k1s, ctx.base_qp_at(level), ctx.ntt_qp_at(level),
         ctx.div_p_at(level), in_ntt=True, out_ntt=True, ntt_q=ctx.ntt_q(level))
+
+
+def _check_key_level(ctx, ka: int, k_gen: int):
+    """A key generated at a deeper level (fewer limbs) than the use level
+    would be clamp-sliced by jnp into a malformed key (special limbs
+    aliased into Q columns) — fail loudly instead, for BOTH methods."""
+    if ka > k_gen:
+        raise errors.LevelMismatchError(
+            f"key generated at a {k_gen}-limb basis used at a level with "
+            f"{ka} active limbs; regenerate the key at level <= "
+            f"{ctx.k - k_gen}")
 
 
 def _slice_key2(ctx, k_arr, ka: int, d_lvl: int):
@@ -844,11 +873,7 @@ def _slice_key2(ctx, k_arr, ka: int, d_lvl: int):
     slice identically — the grouped gadget is a prefix partition, so a
     truncated-basis key IS the prefix slice of the full-basis key."""
     k_gen = k_arr.shape[1] - len(ctx.p_primes)
-    if ka > k_gen:
-        raise errors.LevelMismatchError(
-            f"key generated at a {k_gen}-limb basis used at a level with "
-            f"{ka} active limbs; regenerate the key at level <= "
-            f"{ctx.k - k_gen}")
+    _check_key_level(ctx, ka, k_gen)
     if ka == k_gen and d_lvl == k_arr.shape[0]:
         return k_arr
     return jnp.concatenate([k_arr[:d_lvl, :ka], k_arr[:d_lvl, k_gen:]], axis=1)
@@ -933,6 +958,7 @@ def _hoist_key_slices(ctx, gk1, lvl):
         return (_slice_key2(ctx, gk1.k0, ka, d_lvl),
                 _slice_key2(ctx, k1, ka, d_lvl))
     k_gen = gk1.k0.shape[1] - len(ctx.p_primes)
+    _check_key_level(ctx, ka, k_gen)
     return (ringkit.slice_key_level(gk1.k0, ka, k_gen),
             ringkit.slice_key_level(k1, ka, k_gen))
 

@@ -309,13 +309,25 @@ def encode_diags_ntt_mont(ctx: CkksContext, vecs, level: int, scale: float):
     readback bounds how many chunks' workspaces can ever be live."""
     chunk = max(1, (1 << 22) // ctx.n)      # ~64 vectors at N=2^16
     tables = (ctx.ntt_qp_at(level), ctx.base_qp_at(level))
-    outs = []
-    for i in range(0, len(vecs), chunk):
+    if len(vecs) <= chunk:
+        return _ntt_mont_qtilde(
+            encode_diags_qtilde(ctx, vecs, level, scale), tables)
+    # fill a preallocated table with a DONATED dynamic_update_slice per
+    # chunk: peak HBM = table + one chunk's workspace (a list + concatenate
+    # would hold every chunk AND the concatenated copy simultaneously,
+    # ~2x the table — which is exactly the N=2^16 StoC OOM regime)
+    first = _ntt_mont_qtilde(
+        encode_diags_qtilde(ctx, vecs[:chunk], level, scale), tables)
+    buf = jnp.zeros((len(vecs),) + first.shape[1:], first.dtype)
+    fill = jax.jit(lambda b, c, i: jax.lax.dynamic_update_slice(
+        b, c, (i,) + (0,) * (b.ndim - 1)), donate_argnums=(0,))
+    buf = fill(buf, first, 0)
+    for i in range(chunk, len(vecs), chunk):
         res = encode_diags_qtilde(ctx, vecs[i: i + chunk], level, scale)
         out = _ntt_mont_qtilde(res, tables)
-        np.asarray(jax.device_get(out[0, 0, :1]))   # bound the async queue
-        outs.append(out)
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        buf = fill(buf, out, i)
+        np.asarray(jax.device_get(buf[0, 0, :1]))   # bound the async queue
+    return buf
 
 
 def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
@@ -384,22 +396,28 @@ def leveled_boot_keys(ctx, key, sk, pieces, aux_lvl: int,
 
     seed0 = _compress_seed(key) if compress_keys else None
     gk_all = {}
+    # Seed-range layout (seed0 < 2^31; PRNG seeds are 63-bit): level group i
+    # owns [seed0 + i*2^34, +2^34) (keygen_galois consumes a_seed + j per
+    # elt, j < n < 2^34), conj owns seed0 + 2^43, relin seed0 + 2^44 — the
+    # ranges provably cannot overlap, so no two keys with different targets
+    # ever share a uniform half (the old <<12 strides collided at i=128).
+    assert len(by_level) < 512, "level-group seed range exhausted"
     for i, l in enumerate(sorted(by_level)):
         gk_l = ckks.keygen_galois(
             ctx, rng.fold_in(key, 100 + i), sk, steps=sorted(by_level[l]),
             level=l, include_conj=False,
-            a_seed=None if seed0 is None else seed0 + (i << 12),
+            a_seed=None if seed0 is None else seed0 + (i << 34),
             store_a=not compress_keys)
         gk_all.update(gk_l.keys)
     gk_c = ckks.keygen_galois(
         ctx, rng.fold_in(key, 99), sk, steps=[], level=aux_lvl,
         include_conj=True,
-        a_seed=None if seed0 is None else seed0 + (1 << 19),
+        a_seed=None if seed0 is None else seed0 + (1 << 43),
         store_a=not compress_keys)
     gk_all["conj"] = gk_c.keys["conj"]
     gk = ringkit.GaloisKey(gk_all)
     rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk, level=aux_lvl,
-                           a_seed=None if seed0 is None else seed0 + (1 << 20))
+                           a_seed=None if seed0 is None else seed0 + (1 << 44))
     if compress_keys:
         rk = ringkit.strip_seeded(rk)
     return gk, rk
@@ -410,8 +428,11 @@ def _compress_seed(key) -> int:
     keygen PRNG key (a DRBG draws it from its own stream)."""
     if rng.is_drbg(key):
         return int(key.bits64(1)[0] >> 33)
-    return int(jax.random.randint(rng.fold_in(key, 0x5eed), (),
-                                  0, 2 ** 31 - 1, dtype=jnp.int32))
+    # pure host derivation from the key's raw words (an 8-byte fetch; the
+    # old device randint forced a full device sync + compile inside keygen,
+    # which turned async OOMs into mid-keygen crashes)
+    kd = np.asarray(jax.random.key_data(key)).ravel()
+    return int((int(kd[-1]) * 0x9e3779b1 ^ int(kd[0])) & (2 ** 31 - 1))
 
 
 def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,

@@ -109,3 +109,37 @@ def test_errors_are_valueerrors():
               errors.CipherSizeError, errors.NttDomainError,
               errors.ParameterError):
         assert issubclass(e, ValueError)
+
+
+def test_methodI_shallow_key_at_full_level_raises(csetup):
+    """A Method-I key generated at a deeper level (fewer limbs) must fail
+    loudly at a shallower use level, not clamp-slice into a malformed key
+    (round-5 guard mirroring _slice_key2)."""
+    ctx, sk, pk, ct = csetup
+    gk = ckks.keygen_galois(ctx, rng.new_key(11), sk, steps=[1], level=2)
+    with pytest.raises(errors.LevelMismatchError):
+        ckks.rotate(ctx, ct, gk, 1)
+
+
+def test_scale_prime_pairing_invariant():
+    """Complementary pairing: consecutive consumed PAIRS multiply to ~the
+    anchor squared, the base prime at index 0 never joins the pairing, and
+    pair_scale_primes=False restores generation order + 2^scale_bits."""
+    import math
+    q_bits = [28] * 10          # uniform chain: base prime bit-size matches
+    on = ckks.make_context(N, q_bits, scale_bits=28, sec_level="none")
+    off = ckks.make_context(N, q_bits, scale_bits=28, sec_level="none",
+                            pair_scale_primes=False)
+    assert off.default_scale == 2.0 ** 28
+    assert sorted(on.q_primes) == sorted(off.q_primes)
+    assert on.q_primes[0] == off.q_primes[0]      # base prime untouched
+    anchor = math.log2(on.default_scale)
+    logs = [math.log2(p) for p in on.q_primes[1:]]
+    assert abs(sum(logs) / len(logs) - anchor) < 1e-9
+    # rescale consumes from the TOP of the chain: each consecutive pair of
+    # consumed primes (k-1, k-2), (k-3, k-4), ... balances around anchor^2
+    spread = max(logs) - min(logs)
+    rev = logs[::-1]
+    for i in range(0, len(rev) - 1, 2):
+        off_pair = abs(rev[i] + rev[i + 1] - 2 * anchor)
+        assert off_pair <= spread / 2 + 1e-9
