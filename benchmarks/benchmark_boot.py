@@ -61,6 +61,10 @@ def main():
                     dest="compress_keys",
                     help="seed-expanded Galois/relin keys (k1 regenerated "
                     "on device per use; halves key-set HBM)")
+    ap.add_argument("--inv-keys", action="store_true", dest="inv_keys",
+                    help="inverse-form Galois keys: hoisted rotations MAC "
+                    "unpermuted digits and permute only the 2-poly result "
+                    "((d̃+1)->2 gather polys per rotation)")
     ap.add_argument("--debug", action="store_true",
                     help="decrypt between phases (regular only)")
     ap.add_argument("--phased", action="store_true",
@@ -108,7 +112,8 @@ def main():
            f"_pc{args.p_count}_bc{args.base_count}"
            + (f"_as{args.arcsin}" if args.arcsin else "")
            + (f"_pd{args.piece_depth}" if args.piece_depth > 1 else "")
-           + ("_ck" if args.compress_keys else ""))
+           + ("_ck" if args.compress_keys else "")
+           + ("_ik" if args.inv_keys else ""))
     cache_file = os.path.join(cache_dir, tag + ".bin")
     if args.variant == "regular":
         entry = ckks_boot.regular_bootstrap
@@ -130,7 +135,7 @@ def main():
                                        piece_depth=args.piece_depth)
             keys = ckks_boot.generate_bootstrap_keys(
                 ctx, rng.new_key(63), sk, cfg,
-                compress_keys=args.compress_keys)
+                compress_keys=args.compress_keys, inv_form=args.inv_keys)
         else:
             cfg = ckks_boot_ext.BootConfigV2(cos_degree=24, double_angles=5,
                                              K=12, ctos_pieces=args.pieces,
@@ -138,7 +143,7 @@ def main():
             keys = ckks_boot_ext.generate_bootstrap_keys_v2(
                 ctx, rng.new_key(63), sk, cfg, variant=args.variant,
                 msg_scale=2.0 ** 22 if args.variant == "slim" else None,
-                compress_keys=args.compress_keys)
+                compress_keys=args.compress_keys, inv_form=args.inv_keys)
         print(f"boot keys: {time.time()-t0:.1f} s", flush=True)
         t0 = time.time()
         serializer.save_to_file(keys, cache_file, level=1)

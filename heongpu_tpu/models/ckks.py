@@ -336,12 +336,14 @@ def keygen_relin(ctx, key, sk, a_seed=None, level: int = 0):
 
 def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8,
                   elts=None, a_seed=None, store_a: bool = True,
-                  include_conj: bool = True, level: int = 0):
+                  include_conj: bool = True, level: int = 0,
+                  inv_form: bool = False):
     return ringkit.keygen_galois(_ring_at(ctx, level), key,
                                  _sk_at(ctx, sk, level), steps, max_shift,
                                  groups=_groups(ctx, level), elts=elts,
                                  a_seed=a_seed, store_a=store_a,
-                                 include_conj=include_conj)
+                                 include_conj=include_conj,
+                                 inv_form=inv_form)
 
 
 def keygen_switch(ctx, key, sk_old, sk_new):
@@ -903,6 +905,13 @@ def relinearize(ctx, a: Ciphertext, rk: KSKey) -> Ciphertext:
 def apply_galois(ctx, a: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
     errors.check_size(a.size, 2, "apply_galois")
     p = _p_at(ctx, a.level)
+    if gk1.inv_form:
+        # σ applied ONCE to the combined pair: σ(c0 + KS'(c1)) = σ(c0)+KS(σ(c1))
+        d0, d1 = _keyswitch_poly(ctx, a.c[1], gk1.k0, _k1_of(ctx, gk1),
+                                 a.level)
+        out = jnp.stack([mm.add_mod(a.c[0], d0, p), d1])
+        return Ciphertext(polyops.apply_galois_ntt(out, gk1.perm_ntt),
+                          2, a.level, a.scale)
     g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
     g1 = polyops.apply_galois_ntt(a.c[1], gk1.perm_ntt)
     d0, d1 = _keyswitch_poly(ctx, g1, gk1.k0, _k1_of(ctx, gk1), a.level)
@@ -997,25 +1006,37 @@ def rotate_hoisted(ctx, a: Ciphertext, d_ntt, gk1: GaloisKeyOne) -> Ciphertext:
     automorphism up to per-limb negation, which the gather's sign structure
     absorbs because NTT-domain permutation == coefficient permute+negate)."""
     lvl = a.level
-    acc0, acc1, g0 = rotate_hoisted_raw(ctx, a, d_ntt, gk1)
-    out = ks_finish_at(ctx, jnp.stack([acc0, acc1]), lvl)
-    p = _p_at(ctx, lvl)
-    return Ciphertext(jnp.stack([mm.add_mod(g0, out[0], p), out[1]]),
-                      2, lvl, a.scale)
+    pc0 = p_scale_to_qtilde(ctx, a.c[0], lvl)
+    t0, t1 = rotate_hoisted_qtilde(ctx, d_ntt, gk1, pc0, lvl)
+    out = ks_finish_at(ctx, jnp.stack([t0, t1]), lvl)
+    return Ciphertext(out, 2, lvl, a.scale)
 
 
-def rotate_hoisted_raw(ctx, a: Ciphertext, d_ntt, gk1: GaloisKeyOne):
-    """Like rotate_hoisted but returns the P-scaled pair over Q̃ (NTT domain)
-    *before* the ÷P step, plus sigma_g(c0): lets callers accumulate many
-    rotated terms in the extended basis and divide once (the reference's
-    double-hoisting: broadcast_scale_P_kernel + addition_pql_kernel)."""
-    lvl = a.level
+def rotate_hoisted_qtilde(ctx, d_ntt, gk1: GaloisKeyOne, pc0, level: int):
+    """The P-scaled σ_g-rotated pair over Q̃ (NTT domain) BEFORE the ÷P
+    step: (t0, t1) with t0 = σ(P·c0) + MAC0, t1 = MAC1 — callers accumulate
+    many rotated terms in the extended basis and divide once (the
+    reference's double-hoisting: broadcast_scale_P_kernel +
+    addition_pql_kernel, operator.cu:4674).
+
+    pc0 = p_scale_to_qtilde(ctx, c0, level), computed ONCE per hoist and
+    shared across rotations.  inv_form keys MAC the UNPERMUTED digits and
+    permute only the combined pair — the gather volume per rotation drops
+    from (d̃+1) polys to 2."""
+    base_qp = ctx.base_qp_at(level)
+    k0s, k1s = _hoist_key_slices(ctx, gk1, level)
+    if gk1.inv_form:
+        acc0 = rns.lazy_mac_mont(d_ntt, k0s, base_qp)
+        acc1 = rns.lazy_mac_mont(d_ntt, k1s, base_qp)
+        t0 = mm.add_mod(acc0, pc0, base_qp.p[:, None])
+        return (polyops.apply_galois_ntt(t0, gk1.perm_ntt),
+                polyops.apply_galois_ntt(acc1, gk1.perm_ntt))
     dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
-    k0s, k1s = _hoist_key_slices(ctx, gk1, lvl)
-    acc0 = rns.lazy_mac_mont(dp, k0s, ctx.base_qp_at(lvl))
-    acc1 = rns.lazy_mac_mont(dp, k1s, ctx.base_qp_at(lvl))
-    g0 = polyops.apply_galois_ntt(a.c[0], gk1.perm_ntt)
-    return acc0, acc1, g0
+    acc0 = rns.lazy_mac_mont(dp, k0s, base_qp)
+    acc1 = rns.lazy_mac_mont(dp, k1s, base_qp)
+    t0 = mm.add_mod(acc0, polyops.apply_galois_ntt(pc0, gk1.perm_ntt),
+                    base_qp.p[:, None])
+    return t0, acc1
 
 
 def monomial_mult_tables(ctx, k_exp: int):

@@ -363,7 +363,8 @@ def _build_piece(ctx: CkksContext, diags: Dict[int, np.ndarray], level: int,
 
 def leveled_boot_keys(ctx, key, sk, pieces, aux_lvl: int,
                       compress_keys: bool, extra_steps_lvl: dict = None,
-                      include_giants: bool = True, limb_align: int = 1):
+                      include_giants: bool = True, limb_align: int = 1,
+                      inv_form: bool = False):
     """Galois + relin keys for a bootstrap pipeline, each rotation step's key
     GENERATED AT ITS SHALLOWEST USE LEVEL (ckks.keygen_galois(level=)):
     StoC steps live at deep levels (few active limbs), so their keys are
@@ -407,13 +408,13 @@ def leveled_boot_keys(ctx, key, sk, pieces, aux_lvl: int,
             ctx, rng.fold_in(key, 100 + i), sk, steps=sorted(by_level[l]),
             level=l, include_conj=False,
             a_seed=None if seed0 is None else seed0 + (i << 34),
-            store_a=not compress_keys)
+            store_a=not compress_keys, inv_form=inv_form)
         gk_all.update(gk_l.keys)
     gk_c = ckks.keygen_galois(
         ctx, rng.fold_in(key, 99), sk, steps=[], level=aux_lvl,
         include_conj=True,
         a_seed=None if seed0 is None else seed0 + (1 << 43),
-        store_a=not compress_keys)
+        store_a=not compress_keys, inv_form=inv_form)
     gk_all["conj"] = gk_c.keys["conj"]
     gk = ringkit.GaloisKey(gk_all)
     rk = ckks.keygen_relin(ctx, rng.fold_in(key, 1), sk, level=aux_lvl,
@@ -439,7 +440,8 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
                             cfg: BootConfig = None,
                             msg_scale: float = None,
                             compress_keys: bool = False,
-                            limb_align: int = 1) -> BootKeys:
+                            limb_align: int = 1,
+                            inv_form: bool = False) -> BootKeys:
     """Rotation/conj/relin keys + factored-DFT plaintext tables with the
     EvalMod constants folded in (reference Vandermonde builder + galois
     key-index generation, operator.cu:5594-6580).
@@ -496,7 +498,7 @@ def generate_bootstrap_keys(ctx: CkksContext, key, sk: ringkit.SecretKey,
     # conj is first used at ctos_finish (level p1*pd); relin at EvalMod
     gk, rk = leveled_boot_keys(ctx, key, sk, ctos_pieces + stoc_pieces,
                                aux_lvl=p1 * pd, compress_keys=compress_keys,
-                               limb_align=limb_align)
+                               limb_align=limb_align, inv_form=inv_form)
     return BootKeys(gk=gk, rk=rk, cfg=cfg, msg_scale=msg_scale,
                     ctos_pieces=ctos_pieces, stoc_pieces=stoc_pieces,
                     mult_i=ckks.monomial_mult_tables(ctx, n // 2),
@@ -565,16 +567,13 @@ def matvec_piece(ctx: CkksContext, ct: Ciphertext, piece: Piece,
 
     all_babies = sorted({b for _, babies, _ in piece.giants for b in babies})
     reps = {}
+    pc0 = ckks.p_scale_to_qtilde(ctx, ct.c[0], lvl)   # shared by all babies
     for b in all_babies:
         if b == 0:
-            reps[0] = (ckks.p_scale_to_qtilde(ctx, ct.c[0], lvl),
-                       ckks.p_scale_to_qtilde(ctx, ct.c[1], lvl))
+            reps[0] = (pc0, ckks.p_scale_to_qtilde(ctx, ct.c[1], lvl))
         else:
             gk1 = gk.keys[polyops.steps_to_galois_elt(b, ctx.n)]
-            acc0, acc1, g0 = ckks.rotate_hoisted_raw(ctx, ct, d_ntt, gk1)
-            t0 = mm.add_mod(acc0, ckks.p_scale_to_qtilde(ctx, g0, lvl),
-                            base_qp.p[:, None])
-            reps[b] = (t0, acc1)
+            reps[b] = ckks.rotate_hoisted_qtilde(ctx, d_ntt, gk1, pc0, lvl)
 
     p, pinv, _, mu, r1, r1sh = base_qp.bview()
     out = None

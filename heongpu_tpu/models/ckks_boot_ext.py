@@ -114,7 +114,8 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
                                sparse_hw: Optional[int] = None,
                                less_key_mode: bool = False,
                                compress_keys: bool = False,
-                               limb_align: int = 1) -> BootKeysV2:
+                               limb_align: int = 1,
+                               inv_form: bool = False) -> BootKeysV2:
     """Key + matrix generation for the v2 family.  Piece placement:
       regular: CtoS at levels 0..p1-1, StoC after EvalMod.
       slim/bit/gate: StoC at the chain tail (ending at the last limb), CtoS
@@ -172,7 +173,8 @@ def generate_bootstrap_keys_v2(ctx: CkksContext, key, sk: ringkit.SecretKey,
     gk, rk = ckks_boot.leveled_boot_keys(
         ctx, key, sk, ctos_pieces + stoc_pieces, aux_lvl=p1,
         compress_keys=compress_keys, extra_steps_lvl=extra,
-        include_giants=not less_key_mode, limb_align=limb_align)
+        include_giants=not less_key_mode, limb_align=limb_align,
+        inv_form=inv_form)
     swk_to_sparse = swk_to_dense = None
     if sparse_hw is not None:
         k_sp = rng.fold_in(key, 2)

@@ -65,9 +65,15 @@ class KSKey:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["k0", "k1", "perm_coeff_src", "perm_coeff_neg", "perm_ntt"],
-         meta_fields=["galois_elt", "a_seed"])
+         meta_fields=["galois_elt", "a_seed", "inv_form"])
 @dataclasses.dataclass(frozen=True)
 class GaloisKeyOne:
+    """inv_form=True stores the key INVERSE-PERMUTED (k' = σ_g^{-1}(k),
+    generated directly: k'1 = uniform from seed, k'0 = enc under σ_g^{-1}(s)
+    of P·gadget·s): consumers MAC with UNPERMUTED digits and apply σ_g to
+    the 2-poly accumulator instead of all d̃ digit polys — the hoisted-
+    rotation gather volume drops (d̃+1)→2 polys per rotation (the classic
+    hoisting trick; the reference permutes per-digit, switchkey.cuh:163)."""
     k0: jnp.ndarray
     k1: jnp.ndarray
     perm_coeff_src: jnp.ndarray
@@ -75,6 +81,7 @@ class GaloisKeyOne:
     perm_ntt: jnp.ndarray
     galois_elt: int
     a_seed: Optional[int] = None
+    inv_form: bool = False
 
 
 class GaloisKey:
@@ -234,20 +241,35 @@ def _galois_target(ring: RingView, sk: SecretKey, src, neg):
 
 def keygen_galois_one(ring: RingView, key, sk: SecretKey, g: int,
                       groups=None, a_seed: Optional[int] = None,
-                      noise_scale: int = 1) -> GaloisKeyOne:
+                      noise_scale: int = 1,
+                      inv_form: bool = False) -> GaloisKeyOne:
     n = ring.n
     src, neg = polyops.galois_perm_coeff(g, n)
     perm_ntt = polyops.galois_perm_ntt(g, n)
-    kk = ks_keygen(ring, key, sk, _galois_target(ring, sk, src, neg),
-                   groups=groups, a_seed=a_seed, noise_scale=noise_scale)
-    return GaloisKeyOne(kk.k0, kk.k1, src, neg, perm_ntt, g, a_seed=kk.a_seed)
+    if inv_form:
+        # k' = σ_g^{-1}(k) generated DIRECTLY: the uniform half is the raw
+        # (seed-expandable) sample and k'0 = -a·σ^{-1}(s) + e + P·g_j·s —
+        # algebra: σ(Σ_j d_j k'_j) = Σ_j σ(d_j) k_j with k = σ(k'), so the
+        # consumer MACs unpermuted digits and permutes only the result.
+        g_inv = pow(g, -1, 2 * n)
+        src_i, neg_i = polyops.galois_perm_coeff(g_inv, n)
+        under = dataclasses.replace(
+            sk, s_ntt_mont_qp=_galois_target(ring, sk, src_i, neg_i))
+        kk = ks_keygen(ring, key, under, sk.s_ntt_mont_qp,
+                       groups=groups, a_seed=a_seed, noise_scale=noise_scale)
+    else:
+        kk = ks_keygen(ring, key, sk, _galois_target(ring, sk, src, neg),
+                       groups=groups, a_seed=a_seed, noise_scale=noise_scale)
+    return GaloisKeyOne(kk.k0, kk.k1, src, neg, perm_ntt, g,
+                        a_seed=kk.a_seed, inv_form=inv_form)
 
 
 def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
                   max_shift: int = 8, include_conj: bool = True,
                   groups=None, elts=None,
                   a_seed: Optional[int] = None,
-                  noise_scale: int = 1, store_a: bool = True) -> GaloisKey:
+                  noise_scale: int = 1, store_a: bool = True,
+                  inv_form: bool = False) -> GaloisKey:
     """Default: powers-of-two step chain ±2^0..±2^(max_shift-1) like the
     reference (evaluationkey.cu:316-341); `steps` gives a custom rotation
     list, `elts` gives raw Galois elements directly (reference custom-elt
@@ -274,13 +296,13 @@ def keygen_galois(ring: RingView, key, sk: SecretKey, steps=None,
             kk = keygen_galois_one(
                 ring, sk_i, sk, g, groups=groups,
                 a_seed=None if a_seed is None else a_seed + i,
-                noise_scale=noise_scale)
+                noise_scale=noise_scale, inv_form=inv_form)
             keys[g] = kk if store_a else strip_seeded(kk)
     if include_conj:
         kk = keygen_galois_one(
             ring, subkeys[-1], sk, 2 * n - 1, groups=groups,
             a_seed=None if a_seed is None else a_seed + len(gl),
-            noise_scale=noise_scale)
+            noise_scale=noise_scale, inv_form=inv_form)
         keys["conj"] = kk if store_a else strip_seeded(kk)
     return GaloisKey(keys)
 

@@ -159,3 +159,54 @@ def test_hoisted_rotation_method_ii():
         got = ckks.decode(ctx, ckks.decrypt(
             ctx, sk, ckks.rotate_hoisted(ctx, ct, d, gk.keys[g]))).real
         np.testing.assert_allclose(got, np.roll(z, -step), atol=1e-3)
+
+
+def test_inv_form_galois_keys():
+    """inv_form keys (MAC unpermuted digits, permute the 2-poly result) are
+    functionally identical to normal keys on both the simple and hoisted
+    rotation paths, for rotations and conjugation, Methods I and II."""
+    from heongpu_tpu.ops import polyops
+    for ks, alpha in (("I", 1), ("II", 2)):
+        ctx = ckks.make_context(512, [29, 28, 28, 28], sec_level="none",
+                                ks_type=ks, alpha=alpha,
+                                p_count=3 if ks == "II" else None)
+        sk = ckks.keygen_secret(ctx, rng.new_key(701))
+        pk = ckks.keygen_public(ctx, rng.new_key(702), sk)
+        gki = ckks.keygen_galois(ctx, rng.new_key(703), sk, steps=[1, 3],
+                                 inv_form=True)
+        assert all(k.inv_form for k in gki.keys.values())
+        z = np.linspace(-1, 1, ctx.n // 2)
+        ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(704))
+        got = ckks.decode(ctx, ckks.decrypt(
+            ctx, sk, ckks.rotate(ctx, ct, gki, 3))).real
+        np.testing.assert_allclose(got, np.roll(z, -3), atol=1e-3)
+        got = ckks.decode(ctx, ckks.decrypt(
+            ctx, sk, ckks.conjugate(ctx, ct, gki)))
+        np.testing.assert_allclose(got.imag, -ckks.decode(
+            ctx, ckks.decrypt(ctx, sk, ct)).imag, atol=1e-3)
+        d = ckks.hoist(ctx, ct)
+        g = polyops.steps_to_galois_elt(1, ctx.n)
+        got = ckks.decode(ctx, ckks.decrypt(
+            ctx, sk, ckks.rotate_hoisted(ctx, ct, d, gki.keys[g]))).real
+        np.testing.assert_allclose(got, np.roll(z, -1), atol=1e-3)
+
+
+def test_inv_form_seed_expanded():
+    """Seed-expanded inv_form keys: k1 is regenerated from the seed with NO
+    device permutation (the uniform half of an inv-form key IS the raw
+    expansion) and still rotates correctly."""
+    from heongpu_tpu import models
+    from heongpu_tpu.models import ringkit
+    ctx = ckks.make_context(512, [29, 28, 28, 28], sec_level="none",
+                            ks_type="II", alpha=2, p_count=3)
+    sk = ckks.keygen_secret(ctx, rng.new_key(711))
+    pk = ckks.keygen_public(ctx, rng.new_key(712), sk)
+    gk = ckks.keygen_galois(ctx, rng.new_key(713), sk, steps=[1],
+                            a_seed=12345, store_a=False, inv_form=True)
+    one = next(iter(k for k in gk.keys.values() if k.galois_elt != 2 * ctx.n - 1))
+    assert one.k1 is None and one.a_seed is not None
+    z = np.linspace(-1, 1, ctx.n // 2)
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(714))
+    got = ckks.decode(ctx, ckks.decrypt(
+        ctx, sk, ckks.rotate(ctx, ct, gk, 1))).real
+    np.testing.assert_allclose(got, np.roll(z, -1), atol=1e-3)
