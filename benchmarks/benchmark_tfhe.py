@@ -52,6 +52,14 @@ def run_impl(ctx, sk, key, label, widths, batch, reps):
         dt = timed_chain(lambda a, b: (g(a, b), b), (c1, c2), reps)
         print(f"  {name:5s} {dt*1e3:8.1f} ms  ({dt/batch*1e6:8.1f} us/gate amortized)")
 
+    # MUX: 2 bootstraps batched into one 2B blind-rotation chain +
+    # pre-keyswitch combine + ONE keyswitch (reference operator.cuh:688-812)
+    sel = tfhe.encrypt(ctx, sk, R.integers(0, 2, batch), rng.new_key())
+    gmux = jax.jit(lambda s, a, b: tfhe.MUX(ctx, key, s, a, b))
+    dt = timed_chain(lambda s, a, b: (gmux(s, a, b), a, b), (sel, c1, c2),
+                     reps)
+    print(f"  MUX   {dt*1e3:8.1f} ms  ({dt/batch*1e6:8.1f} us/gate amortized)")
+
     jadd = jax.jit(tfhe_int.add)
     for w in widths:
         xs = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
@@ -79,6 +87,36 @@ def run_impl(ctx, sk, key, label, widths, batch, reps):
         dt = ((t2 - t1) - (t1 - t0)) / 2
         print(f"  huint{w:<3d} add {dt*1e3:8.1f} ms  "
               f"({tfhe_int.bootstrap_rounds(w)} batched blind-rotation rounds)")
+
+    # huint mux / signed abs: the integer circuits built on the 2-bootstrap
+    # MUX (reference huint MUX table, README.md:66)
+    w = widths[0]
+    xs = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
+    ys = R.integers(0, 1 << min(w, 62), 1, dtype=np.int64)
+    hx = tfhe_int.encrypt_huint(ctx, sk, xs, w, rng.new_key())
+    hy = tfhe_int.encrypt_huint(ctx, sk, ys, w, rng.new_key())
+    sel1 = tfhe.encrypt(ctx, sk, np.array([1]), rng.new_key())
+    jmux = jax.jit(tfhe_int.mux)
+    jabs = jax.jit(tfhe_int.abs_)
+
+    def timed_hchain(step, seed, reps=2):
+        h = step(step(seed))
+        np.asarray(jax.device_get(h.bits.b[:4]))
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(step(seed).bits.b[:4]))
+        t1 = time.perf_counter()
+        h = seed
+        for _ in range(1 + reps):
+            h = step(h)
+        np.asarray(jax.device_get(h.bits.b[:4]))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / reps
+
+    dt = timed_hchain(lambda h: jmux(ctx, key, sel1, h, hy), hx)
+    print(f"  huint{w:<3d} mux {dt*1e3:8.1f} ms")
+    hs = tfhe_int.encrypt_hint(ctx, sk, -xs, w, rng.new_key())
+    dt = timed_hchain(lambda h: jabs(ctx, key, h), hs)
+    print(f"  hint{w:<4d} abs {dt*1e3:8.1f} ms")
 
 
 def main(widths, batch, reps, impls):

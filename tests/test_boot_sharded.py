@@ -81,6 +81,7 @@ def test_boot_keys_genuinely_sharded(boot_setup):
     assert dev0 < 0.45 * tot, (dev0, tot)
 
 
+@pytest.mark.slow
 def test_limb_sharded_full_bootstrap(boot_setup):
     ctx, keys, ct = boot_setup
     m = meshlib.make_mesh(4, limb_shards=4)

@@ -166,29 +166,39 @@ def test_inv_form_galois_keys():
     functionally identical to normal keys on both the simple and hoisted
     rotation paths, for rotations and conjugation, Methods I and II."""
     from heongpu_tpu.ops import polyops
-    for ks, alpha in (("I", 1), ("II", 2)):
-        ctx = ckks.make_context(512, [29, 28, 28, 28], sec_level="none",
-                                ks_type=ks, alpha=alpha,
-                                p_count=3 if ks == "II" else None)
-        sk = ckks.keygen_secret(ctx, rng.new_key(701))
-        pk = ckks.keygen_public(ctx, rng.new_key(702), sk)
-        gki = ckks.keygen_galois(ctx, rng.new_key(703), sk, steps=[1, 3],
-                                 inv_form=True)
-        assert all(k.inv_form for k in gki.keys.values())
-        z = np.linspace(-1, 1, ctx.n // 2)
-        ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(704))
-        got = ckks.decode(ctx, ckks.decrypt(
-            ctx, sk, ckks.rotate(ctx, ct, gki, 3))).real
-        np.testing.assert_allclose(got, np.roll(z, -3), atol=1e-3)
-        got = ckks.decode(ctx, ckks.decrypt(
-            ctx, sk, ckks.conjugate(ctx, ct, gki)))
-        np.testing.assert_allclose(got.imag, -ckks.decode(
-            ctx, ckks.decrypt(ctx, sk, ct)).imag, atol=1e-3)
-        d = ckks.hoist(ctx, ct)
-        g = polyops.steps_to_galois_elt(1, ctx.n)
-        got = ckks.decode(ctx, ckks.decrypt(
-            ctx, sk, ckks.rotate_hoisted(ctx, ct, d, gki.keys[g]))).real
-        np.testing.assert_allclose(got, np.roll(z, -1), atol=1e-3)
+    # Method II: full surface (simple, conj, hoisted); Method I: simple
+    # rotate only (the dispatch point is shared, a second full sweep would
+    # double the suite cost for no extra coverage)
+    ctx = ckks.make_context(512, [29, 28, 28, 28], sec_level="none",
+                            ks_type="II", alpha=2, p_count=3)
+    sk = ckks.keygen_secret(ctx, rng.new_key(701))
+    pk = ckks.keygen_public(ctx, rng.new_key(702), sk)
+    gki = ckks.keygen_galois(ctx, rng.new_key(703), sk, steps=[1, 3],
+                             inv_form=True)
+    assert all(k.inv_form for k in gki.keys.values())
+    z = np.linspace(-1, 1, ctx.n // 2)
+    ct = ckks.encrypt(ctx, pk, ckks.encode(ctx, z), rng.new_key(704))
+    got = ckks.decode(ctx, ckks.decrypt(
+        ctx, sk, ckks.rotate(ctx, ct, gki, 3))).real
+    np.testing.assert_allclose(got, np.roll(z, -3), atol=1e-3)
+    got = ckks.decode(ctx, ckks.decrypt(
+        ctx, sk, ckks.conjugate(ctx, ct, gki)))
+    np.testing.assert_allclose(got.imag, -ckks.decode(
+        ctx, ckks.decrypt(ctx, sk, ct)).imag, atol=1e-3)
+    d = ckks.hoist(ctx, ct)
+    g = polyops.steps_to_galois_elt(1, ctx.n)
+    got = ckks.decode(ctx, ckks.decrypt(
+        ctx, sk, ckks.rotate_hoisted(ctx, ct, d, gki.keys[g]))).real
+    np.testing.assert_allclose(got, np.roll(z, -1), atol=1e-3)
+    ctx1 = ckks.make_context(512, [29, 28, 28], sec_level="none")
+    sk1 = ckks.keygen_secret(ctx1, rng.new_key(705))
+    pk1 = ckks.keygen_public(ctx1, rng.new_key(706), sk1)
+    gk1 = ckks.keygen_galois(ctx1, rng.new_key(707), sk1, steps=[1],
+                             inv_form=True)
+    ct1 = ckks.encrypt(ctx1, pk1, ckks.encode(ctx1, z), rng.new_key(708))
+    got = ckks.decode(ctx1, ckks.decrypt(
+        ctx1, sk1, ckks.rotate(ctx1, ct1, gk1, 1))).real
+    np.testing.assert_allclose(got, np.roll(z, -1), atol=1e-3)
 
 
 def test_inv_form_seed_expanded():

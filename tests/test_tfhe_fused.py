@@ -65,6 +65,7 @@ def test_bootstrap_unrolled_decrypts():
                                   np.array([True, True, True, False]))
 
 
+@pytest.mark.slow
 def test_weak_id_cache_never_aliases_recycled_objects():
     """Two sequentially-allocated keying objects must never share a cache
     entry, even if the second lands at the first's recycled id() address
