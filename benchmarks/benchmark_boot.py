@@ -72,6 +72,9 @@ def main():
                     "(much faster first compile; prints per-phase ms)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (config validation at small N)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="print per-phase XLA flops/bytes vs the measured "
+                    "phase latency (phased regular only)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -302,6 +305,42 @@ def main():
             t3, _ = _chain_time(dispatch, src, 3)
             phase_ms[name] = round(1e3 * (t3 - t1) / 2, 1)
         print(f"phase latencies (ms, chained delta): {phase_ms}", flush=True)
+
+        if args.roofline:
+            # XLA cost model per phase (reference counterpart: the cudaEvent
+            # tables in benchmark/benchmark_ckks.cpp): flops/bytes summed
+            # over each phase's compiled programs, rated by the measured
+            # chained-delta phase latency
+            def _cost(jfn, *a):
+                ca = jfn.lower(*a).compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                return (float(ca.get("flops", 0.0)),
+                        float(ca.get("bytes accessed", 0.0)))
+
+            costs = {"ctos": [_cost(f_raise, ct)],
+                     "evalmod": [_cost(f_mod, t0v_, keys)],
+                     "stoc": [_cost(f_sent, s0v_, s1v_, keys)]}
+            w_ = f_raise(ct)
+            for g in f_cp:
+                costs["ctos"].append(_cost(g, w_, keys))
+                w_ = g(w_, keys)
+            costs["ctos"].append(_cost(f_cfin, w_, keys))
+            m_ = f_sent(s0v_, s1v_, keys)
+            for g in f_sp:
+                costs["stoc"].append(_cost(g, m_, keys))
+                m_ = g(m_, keys)
+            for name in ("ctos", "evalmod", "stoc"):
+                fl = sum(c[0] for c in costs[name])
+                by = sum(c[1] for c in costs[name])
+                dt = phase_ms[name] / 1e3
+                print(json.dumps({
+                    "metric": f"roofline_{args.variant}_n{N}_{name}",
+                    "xla_gflops": round(fl / 1e9, 2),
+                    "hbm_gbytes": round(by / 2**30, 2),
+                    "achieved_gflops_s": round(fl / dt / 1e9, 1),
+                    "achieved_gbytes_s": round(by / dt / 2**30, 1),
+                    "arith_intensity": round(fl / max(by, 1), 3),
+                }), flush=True)
     else:
         f = jax.jit(entry)
         t0 = time.time()

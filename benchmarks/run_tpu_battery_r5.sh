@@ -21,11 +21,11 @@ run() {
 TO=5400 run boot8192_norm python benchmarks/benchmark_boot.py \
   --n 8192 --depth 48 --base-count 2 --arcsin 1 --piece-depth 2 --pieces 3 \
   --stoc-pieces 2 --taylor 9 --squarings 6 --hw 32 --p-count 6 --reps 3 \
-  --compress-keys --phased
+  --compress-keys --phased --roofline
 TO=5400 run boot8192_ik python benchmarks/benchmark_boot.py \
   --n 8192 --depth 48 --base-count 2 --arcsin 1 --piece-depth 2 --pieces 3 \
   --stoc-pieces 2 --taylor 9 --squarings 6 --hw 32 --p-count 6 --reps 3 \
-  --compress-keys --inv-keys --phased
+  --compress-keys --inv-keys --phased --roofline
 
 # 2. TFHE full tables through FusedKey/jit, now incl. the 2-bootstrap MUX
 #    and huint mux / hint abs rows
