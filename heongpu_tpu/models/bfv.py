@@ -363,9 +363,11 @@ def keygen_relin(ctx: BfvContext, key, sk: SecretKey, a_seed=None) -> KSKey:
 
 
 def keygen_galois(ctx: BfvContext, key, sk: SecretKey, steps=None,
-                  max_shift: int = 8, elts=None, a_seed=None) -> GaloisKey:
+                  max_shift: int = 8, elts=None, a_seed=None,
+                  inv_form: bool = False) -> GaloisKey:
     return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 groups=_groups(ctx), elts=elts, a_seed=a_seed)
+                                 groups=_groups(ctx), elts=elts, a_seed=a_seed,
+                                 inv_form=inv_form)
 
 
 def keygen_switch(ctx: BfvContext, key, sk_old: SecretKey, sk_new: SecretKey) -> KSKey:
@@ -678,6 +680,12 @@ def relinearize(ctx: BfvContext, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
 def apply_galois(ctx: BfvContext, ct: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
     errors.check_size(ct.size, 2, "apply_galois")
     p = ctx.base_q.p[:, None]
+    if gk1.inv_form:
+        # σ once on the combined pair: σ(c0 + KS'(c1)) = σ(c0) + KS(σ(c1))
+        d0, d1 = _ks_dispatch(ctx, ct.c[1], gk1.k0, _k1_of(ctx, gk1))
+        out = jnp.stack([mm.add_mod(ct.c[0], d0, p), d1])
+        return Ciphertext(polyops.apply_galois_coeff(
+            out, gk1.perm_coeff_src, gk1.perm_coeff_neg, p), 2, False)
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(ct.c[1], gk1.perm_coeff_src, gk1.perm_coeff_neg, p)
     d0, d1 = _ks_dispatch(ctx, g1, gk1.k0, _k1_of(ctx, gk1))
@@ -783,8 +791,11 @@ def rotate_rows_hoisted(ctx: BfvContext, ct: Ciphertext, d_ntt,
     an NTT-domain gather on the digits (commutes with decomposition up to
     per-limb negation absorbed by the permutation table)."""
     p = ctx.base_q.p[:, None]
-    dp = polyops.apply_galois_ntt(d_ntt, gk1.perm_ntt)
     gk1_k1 = _k1_of(ctx, gk1)
+    # inv_form: MAC the UNPERMUTED digits, permute only the finished pair
+    # ((d~+1) -> 2 gathered polys; same algebra as ckks.rotate_hoisted_qtilde)
+    dp = d_ntt if gk1.inv_form else polyops.apply_galois_ntt(d_ntt,
+                                                             gk1.perm_ntt)
     if ctx.ks_type == "II":
         acc0 = rns.lazy_mac_mont(dp, gk1.k0, ctx.base_qp)
         acc1 = rns.lazy_mac_mont(dp, gk1_k1, ctx.base_qp)
@@ -796,6 +807,10 @@ def rotate_rows_hoisted(ctx: BfvContext, ct: Ciphertext, d_ntt,
         acc0, acc1 = ringkit.hoisted_mac(dp, gk1.k0, gk1_k1, ctx.base_qp)
         out = ringkit.ks_finish(jnp.stack([acc0, acc1]), ctx.ntt_qp,
                                 ctx.div_p, out_ntt=False)
+    if gk1.inv_form:
+        comb = jnp.stack([mm.add_mod(ct.c[0], out[0], p), out[1]])
+        return Ciphertext(polyops.apply_galois_coeff(
+            comb, gk1.perm_coeff_src, gk1.perm_coeff_neg, p), 2, False)
     g0 = polyops.apply_galois_coeff(ct.c[0], gk1.perm_coeff_src,
                                     gk1.perm_coeff_neg, p)
     return Ciphertext(jnp.stack([mm.add_mod(g0, out[0], p), out[1]]),

@@ -261,9 +261,10 @@ def keygen_relin(ctx, key, sk, a_seed=None) -> KSKey:
 
 
 def keygen_galois(ctx, key, sk, steps=None, max_shift: int = 8,
-                  elts=None, a_seed=None) -> GaloisKey:
+                  elts=None, a_seed=None, inv_form: bool = False) -> GaloisKey:
     return ringkit.keygen_galois(_ring(ctx), key, sk, steps, max_shift,
-                                 elts=elts, a_seed=a_seed, noise_scale=ctx.t)
+                                 elts=elts, a_seed=a_seed, noise_scale=ctx.t,
+                                 inv_form=inv_form)
 
 
 def keygen_switch(ctx, key, sk_old, sk_new, a_seed=None) -> KSKey:
@@ -542,6 +543,13 @@ def mod_switch(ctx, a: Ciphertext) -> Ciphertext:
 def apply_galois(ctx, a: Ciphertext, gk1: GaloisKeyOne) -> Ciphertext:
     errors.check_size(a.size, 2, "apply_galois")
     p = ctx.base_q_at(a.level).p[:, None]
+    if gk1.inv_form:
+        d0, d1 = _ks(ctx, a.c[1], gk1.k0,
+                     ringkit.ensure_k1(_ring(ctx), gk1), a.level)
+        out = jnp.stack([mm.add_mod(a.c[0], d0, p), d1])
+        return Ciphertext(polyops.apply_galois_coeff(
+            out, gk1.perm_coeff_src, gk1.perm_coeff_neg, p), 2, a.level,
+            a.factor)
     g0 = polyops.apply_galois_coeff(a.c[0], gk1.perm_coeff_src,
                                     gk1.perm_coeff_neg, p)
     g1 = polyops.apply_galois_coeff(a.c[1], gk1.perm_coeff_src,

@@ -186,3 +186,28 @@ def test_hoisted_rotations_method2():
         want = np.concatenate([np.roll(m[: n // 2], -s),
                                np.roll(m[n // 2:], -s)])
         np.testing.assert_array_equal(got, want)
+
+
+def test_inv_form_galois_bfv():
+    """Inverse-form keys: simple + hoisted rotations match normal keys'
+    results (BFV, both keyswitch methods dispatch the same GaloisKeyOne)."""
+    from heongpu_tpu.ops import polyops
+    n = 1024
+    t = params.plain_modulus_for(n, 20)
+    ctx = bfv.make_context(n, t, q_bits=[29, 29, 29], sec_level="none",
+                           ks_type="II", alpha=2)
+    sk = bfv.keygen_secret(ctx, rng.new_key(801))
+    pk = bfv.keygen_public(ctx, rng.new_key(802), sk)
+    gki = bfv.keygen_galois(ctx, rng.new_key(803), sk, steps=[1],
+                            inv_form=True)
+    m = np.arange(n) % 17
+    ct = bfv.encrypt(ctx, pk, bfv.encode(ctx, m), rng.new_key(804))
+    got = bfv.decode(ctx, bfv.decrypt(ctx, sk, bfv.rotate_rows(ctx, ct, gki, 1)))
+    half = n // 2
+    want = np.concatenate([np.roll(m[:half], -1), np.roll(m[half:], -1)])
+    np.testing.assert_array_equal(got, want)
+    d = bfv.hoist(ctx, ct)
+    g = polyops.steps_to_galois_elt(1, ctx.n)
+    got = bfv.decode(ctx, bfv.decrypt(
+        ctx, sk, bfv.rotate_rows_hoisted(ctx, ct, d, gki.keys[g])))
+    np.testing.assert_array_equal(got, want)

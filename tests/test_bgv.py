@@ -115,3 +115,18 @@ def test_deep_chain(setup):
         np.testing.assert_array_equal(
             bgv.decode(ctx, bgv.decrypt(ctx, sk, ct)),
             want.astype(np.uint32))
+
+
+def test_inv_form_galois_bgv():
+    """Inverse-form keys rotate identically to normal keys (BGV)."""
+    ctx = bgv.make_context(N, T, q_bits=[30, 30, 30], sec_level="none")
+    sk = bgv.keygen_secret(ctx, rng.new_key(811))
+    pk = bgv.keygen_public(ctx, rng.new_key(812), sk)
+    gki = bgv.keygen_galois(ctx, rng.new_key(813), sk, steps=[1],
+                            inv_form=True)
+    m = np.arange(N) % 23
+    ct = bgv.encrypt(ctx, pk, bgv.encode(ctx, m), rng.new_key(814))
+    got = bgv.decode(ctx, bgv.decrypt(ctx, sk, bgv.rotate_rows(ctx, ct, gki, 1)))
+    half = N // 2
+    want = np.concatenate([np.roll(m[:half], -1), np.roll(m[half:], -1)])
+    np.testing.assert_array_equal(got, want)
